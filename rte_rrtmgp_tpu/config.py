@@ -1,0 +1,58 @@
+"""Global precision / numerics configuration.
+
+The reference (rte-rrtmgp-cpp) compiles either FP64 (default) or FP32
+(``USESP``, ``include/types.h:13-28``). On TPU the production path is FP32;
+FP64 is available for validation against the NumPy oracle (tests enable
+``jax.config.update("jax_enable_x64", True)`` on CPU).
+
+All precision-dependent guard constants of the reference are reproduced here
+as functions of dtype:
+
+* ``k_min`` — floor on the two-stream diffusion eigenvalue k**2
+  (``src_kernels_cuda/rte_solver_kernels.cu:11-13``: 1e-12 FP64 / 1e-4 FP32).
+* ``eps`` / ``tiny`` — machine epsilon / smallest normal, used for
+  singularity guards (tau thresholds, ssa division guards).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# Default compute dtype for the framework.  Overridable via env for A/B runs.
+_DTYPE_NAMES = {"float32": np.float32, "float64": np.float64}
+FLOAT = _DTYPE_NAMES[os.environ.get("RTE_RRTMGP_TPU_FLOAT", "float32")]
+
+
+def eps(dtype=None) -> float:
+    return float(np.finfo(np.dtype(dtype or FLOAT)).eps)
+
+
+def tiny(dtype=None) -> float:
+    return float(np.finfo(np.dtype(dtype or FLOAT)).tiny)
+
+
+def k_min(dtype=None) -> float:
+    """Floor for (gamma1-gamma2)*(gamma1+gamma2) in the SW two-stream solver."""
+    return 1.0e-12 if np.dtype(dtype or FLOAT) == np.float64 else 1.0e-4
+
+
+def tau_thres(dtype=None) -> float:
+    """Small-tau switch point of the LW linear-in-tau source: eps**(1/4)."""
+    return float(np.sqrt(np.sqrt(eps(dtype))))
+
+
+# Physical constants (match the reference, src/Gas_optics_rrtmgp.cpp:764-792).
+GRAV = 9.80665          # m s-2
+AVOGADRO = 6.02214076e23
+M_DRY = 0.028964        # kg mol-1
+M_H2O = 0.018016        # kg mol-1
+
+# Solar variability composition offsets (src/Gas_optics_rrtmgp.cpp:748-749).
+SOLAR_A_OFFSET = 0.1495954
+SOLAR_B_OFFSET = 0.00066696
+
+# Surface Planck-source Jacobian temperature perturbation
+# (src_kernels_cuda/gas_optics_rrtmgp_kernels_launchers.cu:474).
+DELTA_TSURF = 1.0

@@ -1,0 +1,52 @@
+"""Spectral flux reductions (reference: ``src/Fluxes.cpp`` +
+``src_kernels_cuda/fluxes_kernels.cu`` and the vendored Fortran
+``src_kernels/mo_fluxes_byband_kernels.F90``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def sum_broadband(gpt_flux):
+    """Sum over g-points: (ncol, nlev, ngpt) -> (ncol, nlev)."""
+    return jnp.sum(gpt_flux, axis=-1)
+
+
+def net_broadband(flux_dn, flux_up):
+    return flux_dn - flux_up
+
+
+def sum_byband(gpt_flux, band_lims_gpt):
+    """Per-band sums: (ncol, nlev, ngpt) -> (ncol, nlev, nbnd).
+
+    Implemented as a static segment-sum matmul (bands are contiguous gpt
+    ranges) — on TPU this maps to one small MXU contraction instead of the
+    reference's per-band loops.
+    """
+    ngpt = gpt_flux.shape[-1]
+    nbnd = len(band_lims_gpt)
+    seg = np.zeros((ngpt, nbnd), dtype=gpt_flux.dtype)
+    for ib, (g0, g1) in enumerate(band_lims_gpt):
+        seg[g0:g1, ib] = 1.0
+    return jnp.matmul(gpt_flux, jnp.asarray(seg), precision="highest")
+
+
+def expand_bands_to_gpt(arr_bnd, band_lims_gpt):
+    """Expand (..., nbnd) to (..., ngpt) (reference ``expand_and_transpose``,
+    src/Rte_lw.cpp:204-217 — our arrays are already column-major-free so no
+    transpose is needed)."""
+    ngpt = band_lims_gpt[-1][1]
+    idx = np.zeros(ngpt, dtype=np.int32)
+    for ib, (g0, g1) in enumerate(band_lims_gpt):
+        idx[g0:g1] = ib
+    return arr_bnd[..., idx]
+
+
+def heating_rate(flux_up, flux_dn, plev, grav=9.80665, cp=1004.64):
+    """Radiative heating rate K/s from net flux divergence (aux output;
+    conventional definition, not in the reference driver)."""
+    net = flux_dn - flux_up
+    dnet = net[:, 1:] - net[:, :-1]
+    dp = plev[:, 1:] - plev[:, :-1]
+    return grav / cp * dnet / dp
