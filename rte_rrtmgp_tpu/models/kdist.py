@@ -143,6 +143,61 @@ class KDist:
     def has_rayleigh(self) -> bool:
         return self.krayl is not None
 
+    def slice_gpt(self, g0: int, g1: int) -> "KDist":
+        """Restrict the k-distribution to g-points [g0, g1).
+
+        The TPU-native generalization of the reference's per-g-point
+        streaming backend (``Gas_optics_rrtmgp_rt``,
+        ``src_cuda_rt/Gas_optics_rrtmgp_rt.cu:405-415``): spectral chunks
+        become first-class k-distributions, so the whole pipeline can be run
+        chunk-by-chunk with O(ncol*nlay*chunk) memory.  Slicing happens at
+        trace time (static), so it is free inside jit.
+
+        Band metadata keeps *global* band indices (``gpt2band``) so chunked
+        by-band accumulation scatters into the global band axis.
+        """
+        import dataclasses
+
+        def slc(a, axis=0):
+            if a is None:
+                return None
+            import jax.numpy as jnp
+            return jax.lax.slice_in_dim(a, g0, g1, axis=axis)
+
+        import jax
+
+        new_minor = {"minor_lower": [], "minor_upper": []}
+        for key in ("minor_lower", "minor_upper"):
+            for s in getattr(self, key):
+                lo = max(s.gpt_start, g0)
+                hi = min(s.gpt_end, g1)
+                if lo >= hi:
+                    continue
+                new_minor[key].append(s._replace(
+                    gpt_start=lo - g0,
+                    gpt_end=hi - g0,
+                    kminor_start=s.kminor_start + (lo - s.gpt_start),
+                ))
+
+        return dataclasses.replace(
+            self,
+            kmajor=slc(self.kmajor),
+            krayl=slc(self.krayl, axis=1),
+            planck_frac=slc(self.planck_frac),
+            solar_source=slc(self.solar_source),
+            solar_source_quiet=slc(self.solar_source_quiet),
+            solar_source_facular=slc(self.solar_source_facular),
+            solar_source_sunspot=slc(self.solar_source_sunspot),
+            gpoint_flavor=(self.gpoint_flavor[0][g0:g1],
+                           self.gpoint_flavor[1][g0:g1]),
+            gpt2band=self.gpt2band[g0:g1],
+            band_lims_gpt=tuple(
+                (max(b0, g0) - g0, min(b1, g1) - g0)
+                for (b0, b1) in self.band_lims_gpt if max(b0, g0) < min(b1, g1)),
+            minor_lower=tuple(new_minor["minor_lower"]),
+            minor_upper=tuple(new_minor["minor_upper"]),
+        )
+
     def with_solar_variability(self, mg_index: float, sb_index: float) -> "KDist":
         """Recompose the solar source (reference ``set_solar_variability``,
         ``src/Gas_optics_rrtmgp.cpp:745-760``)."""

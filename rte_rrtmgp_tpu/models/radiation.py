@@ -1,0 +1,294 @@
+"""Top-level radiation solvers (the reference's driver layer).
+
+``RadiationSolverLW`` / ``RadiationSolverSW`` mirror the capabilities of
+``Radiation_solver_longwave/shortwave::solve``
+(``src_test/Radiation_solver.cpp:384-916``), redesigned TPU-first:
+
+* **No column blocking.**  The reference blocks columns (12 CPU / 1024 GPU)
+  to bound working-set size; under XLA the whole column batch is one traced
+  program and memory is bounded by **spectral chunking** instead
+  (``gpt_chunk``): the pipeline runs per g-point chunk via
+  ``KDist.slice_gpt`` and accumulates broadband/by-band fluxes — the
+  generalization of the reference rt path's per-g-point streaming
+  (``src_test/Radiation_solver_rt.cu:760``).
+* **Orientation canonicalized.**  Solvers always run with the top of the
+  atmosphere at layer index 0; inputs in the opposite orientation are
+  flipped in/out (an XLA ``reverse``, fused and effectively free).
+* **One implementation, jit-specialized** by static option flags — the
+  reference's three code trees collapse here.
+
+Everything in `_solve_*_impl` is pure and jitted once per (shapes, options).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (aerosol_optics as aero_ops, cloud_optics as cloud_ops,
+                   fluxes as flux_ops, gas_optics as gas_ops,
+                   optics_ops, rte_lw, rte_sw)
+from .aerosol_lut import AerosolLUT
+from .cloud_lut import CloudLUT
+from .gas_concs import GasConcs
+from .kdist import KDist
+
+
+def _chunks(ngpt: int, gpt_chunk: Optional[int]):
+    step = gpt_chunk or ngpt
+    return [(g0, min(g0 + step, ngpt)) for g0 in range(0, ngpt, step)]
+
+
+def _flip_lay(a):
+    return jnp.flip(a, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "top_at_1", "gpt_chunk", "output_bnd_fluxes", "n_gauss_angles",
+    "with_clouds"))
+def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
+                   vmr, col_dry, emis_sfc, lwp, iwp, rel, dei,
+                   *, top_at_1: bool, gpt_chunk, output_bnd_fluxes: bool,
+                   n_gauss_angles: int, with_clouds: bool):
+    if not top_at_1:
+        p_lay, t_lay, vmr, col_dry = map(_flip_lay, (p_lay, t_lay, vmr, col_dry))
+        p_lev, t_lev = map(_flip_lay, (p_lev, t_lev))
+        if with_clouds:
+            lwp, iwp, rel, dei = map(_flip_lay, (lwp, iwp, rel, dei))
+    ncol, nlay = p_lay.shape
+    nlev = nlay + 1
+    nbnd = kd.nbnd
+    dtype = p_lay.dtype
+
+    col_gas = gas_ops.build_col_gas(vmr, col_dry)
+
+    cld = None
+    if with_clouds:
+        cld = cloud_ops.cloud_optics_1scl(cloud_lut, lwp, iwp, rel, dei)
+
+    flux_up = jnp.zeros((ncol, nlev), dtype)
+    flux_dn = jnp.zeros((ncol, nlev), dtype)
+    bnd_up = jnp.zeros((ncol, nlev, nbnd), dtype) if output_bnd_fluxes else None
+    bnd_dn = jnp.zeros((ncol, nlev, nbnd), dtype) if output_bnd_fluxes else None
+
+    interp = gas_ops.interpolation(kd, p_lay, t_lay, col_gas)
+
+    for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
+        kdc = kd.slice_gpt(g0, g1)
+        tau = gas_ops.tau_major(kdc, interp)
+        tau = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau)
+        src = gas_ops.planck_source(kdc, interp, t_lay, t_lev, t_sfc,
+                                    sfc_lay=nlay - 1)
+        if with_clouds:
+            tau = tau + flux_ops.expand_bands_to_gpt(cld.tau, kdc.gpt2band)
+
+        emis_gpt = flux_ops.expand_bands_to_gpt(emis_sfc, kdc.gpt2band)
+        inc = jnp.zeros((ncol, g1 - g0), dtype)
+        up, dn, _ = rte_lw.lw_solver_noscat(
+            tau, src.lay_src, src.lev_src, emis_gpt, src.sfc_src,
+            src.sfc_src_jac, inc, n_gauss_angles=n_gauss_angles)
+
+        flux_up = flux_up + flux_ops.sum_broadband(up)
+        flux_dn = flux_dn + flux_ops.sum_broadband(dn)
+        if output_bnd_fluxes:
+            bnd_up = bnd_up + flux_ops.sum_byband(up, kdc.gpt2band, nbnd)
+            bnd_dn = bnd_dn + flux_ops.sum_byband(dn, kdc.gpt2band, nbnd)
+
+    out = {"lw_flux_up": flux_up, "lw_flux_dn": flux_dn,
+           "lw_flux_net": flux_dn - flux_up}
+    if output_bnd_fluxes:
+        out.update(lw_bnd_flux_up=bnd_up, lw_bnd_flux_dn=bnd_dn,
+                   lw_bnd_flux_net=bnd_dn - bnd_up)
+    if not top_at_1:
+        out = {k: jnp.flip(v, axis=1) for k, v in out.items()}
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "top_at_1", "gpt_chunk", "output_bnd_fluxes", "with_clouds",
+    "with_aerosols", "delta_cloud", "delta_aerosol"))
+def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
+                   p_lay, p_lev, t_lay, vmr, col_dry,
+                   sfc_alb_dir, sfc_alb_dif, tsi_scaling, mu0,
+                   lwp, iwp, rel, dei, rh, aermr,
+                   *, top_at_1: bool, gpt_chunk, output_bnd_fluxes: bool,
+                   with_clouds: bool, with_aerosols: bool,
+                   delta_cloud: bool, delta_aerosol: bool):
+    if not top_at_1:
+        p_lay, t_lay, vmr, col_dry = map(_flip_lay, (p_lay, t_lay, vmr, col_dry))
+        p_lev = _flip_lay(p_lev)
+        if with_clouds:
+            lwp, iwp, rel, dei = map(_flip_lay, (lwp, iwp, rel, dei))
+        if with_aerosols:
+            rh, aermr = map(_flip_lay, (rh, aermr))
+    ncol, nlay = p_lay.shape
+    nlev = nlay + 1
+    nbnd = kd.nbnd
+    dtype = p_lay.dtype
+
+    col_gas = gas_ops.build_col_gas(vmr, col_dry)
+    # Nighttime columns would produce NaNs in exp(-tau/mu0); compute them
+    # with a safe mu0 and zero the fluxes at the end.
+    mu0_safe = jnp.where(mu0 > 0.0, mu0, 1.0)
+
+    cld = aer = None
+    if with_clouds:
+        cld = cloud_ops.cloud_optics_2str(cloud_lut, lwp, iwp, rel, dei)
+        if delta_cloud:
+            cld = optics_ops.delta_scale(cld)
+    if with_aerosols:
+        aer = aero_ops.aerosol_optics_2str(aerosol_lut, aermr, rh, p_lev)
+        if delta_aerosol:
+            aer = optics_ops.delta_scale(aer)
+
+    flux_up = jnp.zeros((ncol, nlev), dtype)
+    flux_dn = jnp.zeros((ncol, nlev), dtype)
+    flux_dir = jnp.zeros((ncol, nlev), dtype)
+    bnd = ({k: jnp.zeros((ncol, nlev, nbnd), dtype)
+            for k in ("up", "dn", "dir")} if output_bnd_fluxes else None)
+
+    interp = gas_ops.interpolation(kd, p_lay, t_lay, col_gas)
+
+    for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
+        kdc = kd.slice_gpt(g0, g1)
+        tau_abs = gas_ops.tau_major(kdc, interp)
+        tau_abs = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau_abs)
+        tau_ray = gas_ops.tau_rayleigh(kdc, interp, col_gas, col_dry)
+        tau, ssa, g = gas_ops.combine_abs_and_rayleigh(tau_abs, tau_ray)
+        op = optics_ops.OpticalProps2str(tau=tau, ssa=ssa, g=g)
+
+        if with_clouds:
+            op = optics_ops.increment_2str_by_2str_bybnd(op, cld, kdc.gpt2band)
+        if with_aerosols:
+            op = optics_ops.increment_2str_by_2str_bybnd(op, aer, kdc.gpt2band)
+
+        toa = (kdc.solar_source[None, :] * tsi_scaling[:, None]).astype(dtype)
+        alb_dir = flux_ops.expand_bands_to_gpt(sfc_alb_dir, kdc.gpt2band)
+        alb_dif = flux_ops.expand_bands_to_gpt(sfc_alb_dif, kdc.gpt2band)
+
+        up, dn, fdir = rte_sw.sw_solver_2stream(
+            op.tau, op.ssa, op.g, mu0_safe, alb_dir, alb_dif, toa)
+
+        flux_up = flux_up + flux_ops.sum_broadband(up)
+        flux_dn = flux_dn + flux_ops.sum_broadband(dn)
+        flux_dir = flux_dir + flux_ops.sum_broadband(fdir)
+        if output_bnd_fluxes:
+            bnd["up"] = bnd["up"] + flux_ops.sum_byband(up, kdc.gpt2band, nbnd)
+            bnd["dn"] = bnd["dn"] + flux_ops.sum_byband(dn, kdc.gpt2band, nbnd)
+            bnd["dir"] = bnd["dir"] + flux_ops.sum_byband(fdir, kdc.gpt2band, nbnd)
+
+    # Nighttime columns (mu0 <= 0) get zero SW fluxes.
+    day = (mu0 > 0.0).astype(dtype)[:, None]
+    out = {"sw_flux_up": flux_up * day, "sw_flux_dn": flux_dn * day,
+           "sw_flux_dn_dir": flux_dir * day,
+           "sw_flux_net": (flux_dn - flux_up) * day}
+    if output_bnd_fluxes:
+        d3 = day[:, :, None]
+        out.update(sw_bnd_flux_up=bnd["up"] * d3, sw_bnd_flux_dn=bnd["dn"] * d3,
+                   sw_bnd_flux_dn_dir=bnd["dir"] * d3,
+                   sw_bnd_flux_net=(bnd["dn"] - bnd["up"]) * d3)
+    if not top_at_1:
+        out = {k: jnp.flip(v, axis=1) for k, v in out.items()}
+    return out
+
+
+class _SolverBase:
+    def __init__(self, kdist: KDist, cloud_lut: Optional[CloudLUT] = None,
+                 aerosol_lut: Optional[AerosolLUT] = None):
+        self.kdist = kdist
+        self.cloud_lut = cloud_lut
+        self.aerosol_lut = aerosol_lut
+
+    def _prep(self, gas_concs: GasConcs, p_lay, p_lev, dtype):
+        ncol, nlay = np.asarray(p_lay).shape
+        vmr = gas_concs.materialize(self.kdist.gas_names, ncol, nlay, dtype=dtype)
+        return jnp.asarray(vmr, dtype)
+
+    @staticmethod
+    def _col_dry(gas_concs, p_lev, col_dry, dtype):
+        if col_dry is not None:
+            return jnp.asarray(col_dry, dtype)
+        ncol, nlev = np.asarray(p_lev).shape
+        h2o = gas_concs.expand("h2o", ncol, nlev - 1)
+        return gas_ops.get_col_dry(jnp.asarray(h2o, dtype), jnp.asarray(p_lev, dtype))
+
+    @staticmethod
+    def _detect_top(p_lay) -> bool:
+        p = np.asarray(p_lay)
+        return bool(p[0, 0] < p[0, -1])
+
+
+class RadiationSolverLW(_SolverBase):
+    """Longwave: gas (+cloud) optics -> no-scattering Gauss-quadrature solve
+    -> broadband / by-band fluxes."""
+
+    def solve(self, gas_concs: GasConcs, p_lay, p_lev, t_lay, t_lev, t_sfc,
+              emis_sfc, col_dry=None, lwp=None, iwp=None, rel=None, dei=None,
+              gpt_chunk: Optional[int] = None, output_bnd_fluxes: bool = False,
+              n_gauss_angles: int = 1, dtype=None) -> dict:
+        """emis_sfc: (ncol, nbnd) surface emissivity per band.
+
+        Cloud fields (lwp/iwp in g m-2, rel/dei in micron) enable the
+        cloudy-sky path when provided.
+        """
+        dtype = dtype or jnp.asarray(p_lay).dtype
+        top_at_1 = self._detect_top(p_lay)
+        with_clouds = lwp is not None
+        vmr = self._prep(gas_concs, p_lay, p_lev, dtype)
+        col_dry = self._col_dry(gas_concs, p_lev, col_dry, dtype)
+        zeros = jnp.zeros(np.asarray(p_lay).shape, dtype)
+        cast = lambda a: jnp.asarray(a, dtype)
+        return _solve_lw_impl(
+            self.kdist, self.cloud_lut,
+            cast(p_lay), cast(p_lev), cast(t_lay), cast(t_lev), cast(t_sfc),
+            vmr, col_dry, cast(emis_sfc),
+            cast(lwp) if with_clouds else zeros,
+            cast(iwp) if with_clouds else zeros,
+            cast(rel) if with_clouds else zeros,
+            cast(dei) if with_clouds else zeros,
+            top_at_1=top_at_1, gpt_chunk=gpt_chunk,
+            output_bnd_fluxes=output_bnd_fluxes,
+            n_gauss_angles=n_gauss_angles, with_clouds=with_clouds)
+
+
+class RadiationSolverSW(_SolverBase):
+    """Shortwave: gas (+cloud/aerosol) optics -> two-stream adding solve ->
+    broadband / by-band fluxes."""
+
+    def solve(self, gas_concs: GasConcs, p_lay, p_lev, t_lay, mu0,
+              sfc_alb_dir, sfc_alb_dif, tsi_scaling=None, col_dry=None,
+              lwp=None, iwp=None, rel=None, dei=None, rh=None, aermr=None,
+              gpt_chunk: Optional[int] = None, output_bnd_fluxes: bool = False,
+              delta_cloud: bool = False, delta_aerosol: bool = False,
+              dtype=None) -> dict:
+        """sfc_alb_*: (ncol, nbnd); mu0: (ncol,); aermr: (ncol, nlay, 11)."""
+        dtype = dtype or jnp.asarray(p_lay).dtype
+        top_at_1 = self._detect_top(p_lay)
+        with_clouds = lwp is not None
+        with_aerosols = aermr is not None
+        vmr = self._prep(gas_concs, p_lay, p_lev, dtype)
+        col_dry = self._col_dry(gas_concs, p_lev, col_dry, dtype)
+        ncol, nlay = np.asarray(p_lay).shape
+        zeros = jnp.zeros((ncol, nlay), dtype)
+        zeros3 = jnp.zeros((ncol, nlay, 11), dtype)
+        if tsi_scaling is None:
+            tsi_scaling = jnp.ones((ncol,), dtype)
+        cast = lambda a: jnp.asarray(a, dtype)
+        return _solve_sw_impl(
+            self.kdist, self.cloud_lut, self.aerosol_lut,
+            cast(p_lay), cast(p_lev), cast(t_lay), vmr, col_dry,
+            cast(sfc_alb_dir), cast(sfc_alb_dif), cast(tsi_scaling), cast(mu0),
+            cast(lwp) if with_clouds else zeros,
+            cast(iwp) if with_clouds else zeros,
+            cast(rel) if with_clouds else zeros,
+            cast(dei) if with_clouds else zeros,
+            cast(rh) if with_aerosols else zeros,
+            cast(aermr) if with_aerosols else zeros3,
+            top_at_1=top_at_1, gpt_chunk=gpt_chunk,
+            output_bnd_fluxes=output_bnd_fluxes,
+            with_clouds=with_clouds, with_aerosols=with_aerosols,
+            delta_cloud=delta_cloud, delta_aerosol=delta_aerosol)

@@ -21,8 +21,10 @@ def aerosol_optics_2str(lut: AerosolLUT, aermr, rh, plev) -> OpticalProps2str:
     Returns banded two-stream optical properties (ncol, nlay, nbnd).
     """
     eps = config.eps(rh.dtype)
-    # dpg = (plev[l] - plev[l+1]) / g  (src/Aerosol_optics.cpp:54)
-    dpg = (plev[:, :-1] - plev[:, 1:]) / 9.81
+    # dpg = |plev[l] - plev[l+1]| / g  (src/Aerosol_optics.cpp:54; the
+    # reference assumes surface-at-index-0 ordering — abs() makes the layer
+    # mass orientation-independent).
+    dpg = jnp.abs(plev[:, :-1] - plev[:, 1:]) / 9.81
 
     # rh class: smallest ihum with rh_upper[ihum] >= rh.
     ihum = jnp.searchsorted(lut.rh_upper, rh, side="left")

@@ -17,29 +17,25 @@ def net_broadband(flux_dn, flux_up):
     return flux_dn - flux_up
 
 
-def sum_byband(gpt_flux, band_lims_gpt):
+def sum_byband(gpt_flux, gpt2band, nbnd: int):
     """Per-band sums: (ncol, nlev, ngpt) -> (ncol, nlev, nbnd).
 
-    Implemented as a static segment-sum matmul (bands are contiguous gpt
-    ranges) — on TPU this maps to one small MXU contraction instead of the
-    reference's per-band loops.
+    ``gpt2band`` maps each (possibly chunk-local) g-point to its *global*
+    band.  Implemented as a static segment-sum matmul — on TPU this is one
+    small MXU contraction instead of the reference's per-band loops
+    (``mo_fluxes_byband_kernels.F90:22-42``).
     """
-    ngpt = gpt_flux.shape[-1]
-    nbnd = len(band_lims_gpt)
-    seg = np.zeros((ngpt, nbnd), dtype=gpt_flux.dtype)
-    for ib, (g0, g1) in enumerate(band_lims_gpt):
-        seg[g0:g1, ib] = 1.0
+    g2b = np.asarray(gpt2band, dtype=np.int64)
+    seg = np.zeros((g2b.shape[0], nbnd), dtype=gpt_flux.dtype)
+    seg[np.arange(g2b.shape[0]), g2b] = 1.0
     return jnp.matmul(gpt_flux, jnp.asarray(seg), precision="highest")
 
 
-def expand_bands_to_gpt(arr_bnd, band_lims_gpt):
-    """Expand (..., nbnd) to (..., ngpt) (reference ``expand_and_transpose``,
-    src/Rte_lw.cpp:204-217 — our arrays are already column-major-free so no
-    transpose is needed)."""
-    ngpt = band_lims_gpt[-1][1]
-    idx = np.zeros(ngpt, dtype=np.int32)
-    for ib, (g0, g1) in enumerate(band_lims_gpt):
-        idx[g0:g1] = ib
+def expand_bands_to_gpt(arr_bnd, gpt2band):
+    """Expand (..., nbnd) to (..., ngpt) via the g-point -> band map
+    (reference ``expand_and_transpose``, src/Rte_lw.cpp:204-217 — our arrays
+    are already column-major-free so no transpose is needed)."""
+    idx = np.asarray(gpt2band, dtype=np.int32)
     return arr_bnd[..., idx]
 
 

@@ -30,19 +30,19 @@ def increment_2str_by_2str(op1: OpticalProps2str, op2: OpticalProps2str):
 
 
 def increment_1scl_by_1scl_bybnd(op1: OpticalProps1scl, op2_bnd: OpticalProps1scl,
-                                 band_lims_gpt):
+                                 gpt2band):
     """op2 has one value per band; expand to g-points then add
     (inc_1scalar_by_1scalar_bybnd_kernel)."""
-    tau2 = expand_bands_to_gpt(op2_bnd.tau, band_lims_gpt)
+    tau2 = expand_bands_to_gpt(op2_bnd.tau, gpt2band)
     return OpticalProps1scl(tau=op1.tau + tau2)
 
 
 def increment_2str_by_2str_bybnd(op1: OpticalProps2str, op2_bnd: OpticalProps2str,
-                                 band_lims_gpt):
+                                 gpt2band):
     op2 = OpticalProps2str(
-        tau=expand_bands_to_gpt(op2_bnd.tau, band_lims_gpt),
-        ssa=expand_bands_to_gpt(op2_bnd.ssa, band_lims_gpt),
-        g=expand_bands_to_gpt(op2_bnd.g, band_lims_gpt),
+        tau=expand_bands_to_gpt(op2_bnd.tau, gpt2band),
+        ssa=expand_bands_to_gpt(op2_bnd.ssa, gpt2band),
+        g=expand_bands_to_gpt(op2_bnd.g, gpt2band),
     )
     return increment_2str_by_2str(op1, op2)
 

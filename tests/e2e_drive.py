@@ -44,7 +44,7 @@ op2, toa = go.gas_optics_sw(kd_sw, f32(p_lay), f32(p_lev), f32(t_lay), f32(vmr),
 cl = cloud_optics.cloud_optics_2str(clut, f32(flip(atm["lwp"])), f32(flip(atm["iwp"])),
                                     f32(flip(atm["rel"])), f32(flip(atm["dei"])))
 cl = optics_ops.delta_scale(cl)
-op2 = optics_ops.increment_2str_by_2str_bybnd(op2, cl, kd_sw.band_lims_gpt)
+op2 = optics_ops.increment_2str_by_2str_bybnd(op2, cl, kd_sw.gpt2band)
 alb = jnp.full((24, kd_sw.ngpt), 0.06, jnp.float32)
 su, sd, sdir = rte_sw.sw_solver_2stream(op2.tau, op2.ssa, op2.g, f32(atm["mu0"]),
                                         alb, alb, toa)
@@ -68,4 +68,24 @@ f = jax.jit(lambda k, p, pl, t, v, cd: go.gas_optics_sw(k, p, pl, t, v, cd)[0].t
 t1 = f(kd_sw, f32(p_lay), f32(p_lev), f32(t_lay), f32(vmr), col_dry)
 t2 = f(kd_sw, f32(p_lay), f32(p_lev), f32(t_lay), f32(vmr), col_dry)
 print("probe jit twice: ok, tau max", float(t1.max()))
+
+# 7. the driver layer, spectrally chunked, original (unflipped) orientation
+from rte_rrtmgp_tpu.models import RadiationSolverLW, RadiationSolverSW
+lw = RadiationSolverLW(kd_lw).solve(
+    gas_concs=atm["gas_concs"], p_lay=atm["p_lay"], p_lev=atm["p_lev"],
+    t_lay=atm["t_lay"], t_lev=atm["t_lev"], t_sfc=atm["t_sfc"],
+    emis_sfc=np.full((24, kd_lw.nbnd), 0.98), gpt_chunk=64, dtype=np.float32)
+sw = RadiationSolverSW(kd_sw, clut).solve(
+    gas_concs=atm["gas_concs"], p_lay=atm["p_lay"], p_lev=atm["p_lev"],
+    t_lay=atm["t_lay"], mu0=atm["mu0"],
+    sfc_alb_dir=np.full((24, kd_sw.nbnd), 0.06),
+    sfc_alb_dif=np.full((24, kd_sw.nbnd), 0.06),
+    lwp=atm["lwp"], iwp=atm["iwp"], rel=atm["rel"], dei=atm["dei"],
+    delta_cloud=True, gpt_chunk=56, dtype=np.float32)
+lw_up = np.asarray(lw["lw_flux_up"])  # orig orientation: surface at level 0
+print(f"driver LW sfc up {lw_up[:,0].mean():8.2f} (matches low-level {flux_up[:,-1].mean():8.2f})")
+assert abs(lw_up[:, 0].mean() - flux_up[:, -1].mean()) < 0.5
+sw_dn = np.asarray(sw["sw_flux_dn"])
+assert np.isfinite(sw_dn).all() and sw_dn.min() >= 0
+print(f"driver SW sfc dn {sw_dn[:,0].mean():8.2f} (chunked, cloudy, delta-scaled)")
 print("ALL E2E CHECKS PASSED")

@@ -15,6 +15,7 @@ from helpers import small_kdist, small_atmos
 NCOL, NLAY, NGPT = 4, 10, 12
 EPS = np.finfo(np.float64).eps
 BANDS = ((0, 4), (4, 9), (9, 12))
+G2B = tuple(ib for ib, (g0, g1) in enumerate(BANDS) for _ in range(g1 - g0))
 
 
 def _rand2str(seed):
@@ -46,7 +47,7 @@ def test_increment_bybnd():
     to, so, go_ = ref.increment_2str_by_2str_bybnd(t1, s1, g1, t2, s2, g2, BANDS, EPS)
     out = optics_ops.increment_2str_by_2str_bybnd(
         OpticalProps2str(*map(jnp.asarray, (t1, s1, g1))),
-        OpticalProps2str(*map(jnp.asarray, (t2, s2, g2))), BANDS)
+        OpticalProps2str(*map(jnp.asarray, (t2, s2, g2))), G2B)
     np.testing.assert_allclose(np.asarray(out.tau), to, rtol=1e-13)
     np.testing.assert_allclose(np.asarray(out.ssa), so, rtol=1e-13)
     np.testing.assert_allclose(np.asarray(out.g), go_, rtol=1e-13)
@@ -54,7 +55,7 @@ def test_increment_bybnd():
     tau1 = t1.copy()
     to1 = ref.increment_1scl_by_1scl_bybnd(tau1, t2, BANDS)
     out1 = optics_ops.increment_1scl_by_1scl_bybnd(
-        OpticalProps1scl(jnp.asarray(t1)), OpticalProps1scl(jnp.asarray(t2)), BANDS)
+        OpticalProps1scl(jnp.asarray(t1)), OpticalProps1scl(jnp.asarray(t2)), G2B)
     np.testing.assert_allclose(np.asarray(out1.tau), to1, rtol=1e-13)
 
 
@@ -147,11 +148,11 @@ def test_flux_reductions():
         np.asarray(fluxes.sum_broadband(jnp.asarray(f))), ref.sum_broadband(f),
         rtol=1e-13)
     np.testing.assert_allclose(
-        np.asarray(fluxes.sum_byband(jnp.asarray(f), BANDS)),
+        np.asarray(fluxes.sum_byband(jnp.asarray(f), G2B, len(BANDS))),
         ref.sum_byband(f, BANDS), rtol=1e-13)
 
     arr_bnd = rng.uniform(0, 1, (NCOL, len(BANDS)))
-    out = fluxes.expand_bands_to_gpt(jnp.asarray(arr_bnd), BANDS)
+    out = fluxes.expand_bands_to_gpt(jnp.asarray(arr_bnd), G2B)
     for ib, (g0, g1) in enumerate(BANDS):
         np.testing.assert_array_equal(np.asarray(out[:, g0:g1]),
                                       np.broadcast_to(arr_bnd[:, ib:ib + 1],

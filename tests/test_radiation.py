@@ -1,0 +1,176 @@
+"""System tests for the RadiationSolver driver layer: spectral chunking
+consistency, by-band/broadband agreement, orientation invariance, cloud and
+aerosol effects."""
+
+import numpy as np
+import pytest
+
+from rte_rrtmgp_tpu.data import synthetic
+from rte_rrtmgp_tpu.models import (AerosolLUT, CloudLUT, KDist,
+                                   RadiationSolverLW, RadiationSolverSW)
+from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+
+from helpers import GASES
+
+NCOL, NLAY = 8, 24
+
+
+def _luts(longwave):
+    import tempfile, os
+    kd = KDist.from_raw(synthetic.make_kdist_raw(longwave, gpt_per_band=4),
+                        GASES, dtype=np.float64)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "c.nc")
+        synthetic.write_cloud_nc(p, synthetic.make_cloud_raw(longwave))
+        clut = CloudLUT.from_netcdf(p, dtype=np.float64)
+        a = os.path.join(d, "a.nc")
+        synthetic.write_aerosol_nc(a, synthetic.make_aerosol_raw())
+        alut = AerosolLUT.from_netcdf(a, dtype=np.float64)
+    return kd, clut, alut
+
+
+def _atm():
+    return make_atmosphere(NCOL, NLAY, seed=2)
+
+
+def test_lw_chunked_equals_unchunked():
+    kd, clut, _ = _luts(True)
+    atm = _atm()
+    solver = RadiationSolverLW(kd, clut)
+    emis = np.full((NCOL, kd.nbnd), 0.98)
+    kwargs = dict(gas_concs=atm["gas_concs"], p_lay=atm["p_lay"],
+                  p_lev=atm["p_lev"], t_lay=atm["t_lay"], t_lev=atm["t_lev"],
+                  t_sfc=atm["t_sfc"], emis_sfc=emis,
+                  lwp=atm["lwp"], iwp=atm["iwp"], rel=atm["rel"], dei=atm["dei"])
+    full = solver.solve(**kwargs)
+    chunked = solver.solve(**kwargs, gpt_chunk=12)  # not a divisor of 64
+    for k in full:
+        np.testing.assert_allclose(np.asarray(chunked[k]), np.asarray(full[k]),
+                                   rtol=1e-11, err_msg=k)
+    # Fluxes are physical.
+    assert np.asarray(full["lw_flux_up"]).min() >= 0
+    assert np.isfinite(np.asarray(full["lw_flux_net"])).all()
+
+
+def test_lw_byband_sums_to_broadband():
+    kd, clut, _ = _luts(True)
+    atm = _atm()
+    solver = RadiationSolverLW(kd, clut)
+    emis = np.full((NCOL, kd.nbnd), 0.95)
+    out = solver.solve(gas_concs=atm["gas_concs"], p_lay=atm["p_lay"],
+                       p_lev=atm["p_lev"], t_lay=atm["t_lay"],
+                       t_lev=atm["t_lev"], t_sfc=atm["t_sfc"], emis_sfc=emis,
+                       output_bnd_fluxes=True, gpt_chunk=20)
+    np.testing.assert_allclose(
+        np.asarray(out["lw_bnd_flux_up"]).sum(-1), np.asarray(out["lw_flux_up"]),
+        rtol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(out["lw_bnd_flux_dn"]).sum(-1), np.asarray(out["lw_flux_dn"]),
+        rtol=1e-11)
+
+
+def test_lw_orientation_invariance():
+    """Flipping the vertical axis of all inputs must flip the outputs."""
+    kd, clut, _ = _luts(True)
+    atm = _atm()
+    emis = np.full((NCOL, kd.nbnd), 0.98)
+    solver = RadiationSolverLW(kd, clut)
+    base = dict(gas_concs=atm["gas_concs"], t_sfc=atm["t_sfc"], emis_sfc=emis)
+    out1 = solver.solve(p_lay=atm["p_lay"], p_lev=atm["p_lev"],
+                        t_lay=atm["t_lay"], t_lev=atm["t_lev"], **base)
+
+    flip = lambda a: np.ascontiguousarray(a[:, ::-1])
+    gc2 = atm["gas_concs"]
+    import copy
+    gc_f = copy.deepcopy(gc2)
+    for name in gc_f.names():
+        v = gc_f.get_vmr(name)
+        if v.ndim == 2:
+            gc_f.set_vmr(name, flip(v))
+    out2 = RadiationSolverLW(kd, clut).solve(
+        gas_concs=gc_f, p_lay=flip(atm["p_lay"]), p_lev=flip(atm["p_lev"]),
+        t_lay=flip(atm["t_lay"]), t_lev=flip(atm["t_lev"]),
+        t_sfc=atm["t_sfc"], emis_sfc=emis)
+    np.testing.assert_allclose(np.asarray(out2["lw_flux_up"]),
+                               flip(np.asarray(out1["lw_flux_up"])), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(out2["lw_flux_dn"]),
+                               flip(np.asarray(out1["lw_flux_dn"])), rtol=1e-11)
+
+
+def test_sw_chunked_clouds_aerosols():
+    kd, clut, alut = _luts(False)
+    atm = _atm()
+    solver = RadiationSolverSW(kd, clut, alut)
+    alb = np.full((NCOL, kd.nbnd), 0.06)
+    kwargs = dict(gas_concs=atm["gas_concs"], p_lay=atm["p_lay"],
+                  p_lev=atm["p_lev"], t_lay=atm["t_lay"], mu0=atm["mu0"],
+                  sfc_alb_dir=alb, sfc_alb_dif=alb,
+                  lwp=atm["lwp"], iwp=atm["iwp"], rel=atm["rel"], dei=atm["dei"],
+                  rh=atm["rh"], aermr=atm["aermr"],
+                  delta_cloud=True, delta_aerosol=True)
+    full = solver.solve(**kwargs, output_bnd_fluxes=True)
+    chunked = solver.solve(**kwargs, gpt_chunk=8)
+    for k in ("sw_flux_up", "sw_flux_dn", "sw_flux_dn_dir", "sw_flux_net"):
+        np.testing.assert_allclose(np.asarray(chunked[k]), np.asarray(full[k]),
+                                   rtol=1e-11, err_msg=k)
+    np.testing.assert_allclose(np.asarray(full["sw_bnd_flux_dn"]).sum(-1),
+                               np.asarray(full["sw_flux_dn"]), rtol=1e-11)
+
+    up = np.asarray(full["sw_flux_up"])
+    dn = np.asarray(full["sw_flux_dn"])
+    toa_in = kd.total_solar_irradiance() * atm["mu0"]
+    top = -1 if atm["p_lay"][0, 0] > atm["p_lay"][0, -1] else 0
+    assert np.all(up[:, top] <= toa_in * (1 + 1e-10))
+    assert dn.min() >= 0 and up.min() >= 0
+
+
+def test_sw_clouds_reduce_surface_flux():
+    kd, clut, _ = _luts(False)
+    atm = _atm()
+    alb = np.full((NCOL, kd.nbnd), 0.06)
+    solver = RadiationSolverSW(kd, clut)
+    base = dict(gas_concs=atm["gas_concs"], p_lay=atm["p_lay"],
+                p_lev=atm["p_lev"], t_lay=atm["t_lay"], mu0=atm["mu0"],
+                sfc_alb_dir=alb, sfc_alb_dif=alb)
+    clear = solver.solve(**base)
+    cloudy = solver.solve(**base, lwp=atm["lwp"], iwp=atm["iwp"],
+                          rel=atm["rel"], dei=atm["dei"], delta_cloud=True)
+    has_cloud = (atm["lwp"] + atm["iwp"]).sum(1) > 0
+    # Surface level is index 0 for this profile (surface at high pressure).
+    sfc = 0 if atm["p_lay"][0, 0] > atm["p_lay"][0, -1] else -1
+    dn_clear = np.asarray(clear["sw_flux_dn"])[:, sfc]
+    dn_cloudy = np.asarray(cloudy["sw_flux_dn"])[:, sfc]
+    assert np.all(dn_cloudy[has_cloud] < dn_clear[has_cloud] * 0.95)
+    np.testing.assert_allclose(dn_cloudy[~has_cloud], dn_clear[~has_cloud],
+                               rtol=1e-10)
+
+
+def test_sw_night_columns_zero():
+    kd, _, _ = _luts(False)
+    atm = _atm()
+    mu0 = atm["mu0"].copy()
+    mu0[::2] = -0.1
+    alb = np.full((NCOL, kd.nbnd), 0.06)
+    out = RadiationSolverSW(kd).solve(
+        gas_concs=atm["gas_concs"], p_lay=atm["p_lay"], p_lev=atm["p_lev"],
+        t_lay=atm["t_lay"], mu0=mu0, sfc_alb_dir=alb, sfc_alb_dif=alb)
+    dn = np.asarray(out["sw_flux_dn"])
+    assert np.all(dn[::2] == 0.0)
+    assert np.isfinite(dn).all()
+    assert dn[1::2].max() > 0
+
+
+def test_lw_warm_surface_net_cooling():
+    """Physics: outgoing LW at TOA is positive; net flux divergence cools a
+    warm-surface atmosphere overall."""
+    kd, _, _ = _luts(True)
+    atm = _atm()
+    emis = np.full((NCOL, kd.nbnd), 1.0)
+    out = RadiationSolverLW(kd).solve(
+        gas_concs=atm["gas_concs"], p_lay=atm["p_lay"], p_lev=atm["p_lev"],
+        t_lay=atm["t_lay"], t_lev=atm["t_lev"], t_sfc=atm["t_sfc"],
+        emis_sfc=emis)
+    top = -1 if atm["p_lay"][0, 0] > atm["p_lay"][0, -1] else 0
+    olr = np.asarray(out["lw_flux_up"])[:, top]
+    assert np.all(olr > 50.0) and np.all(olr < 600.0)
+    assert np.asarray(out["lw_flux_dn"])[:, top].max() == 0.0
