@@ -119,12 +119,16 @@ def _flavor_of_gpt(kd: KDist, interp: Interp):
 
 
 def _gather_flav(arr, iflav):
-    """Gather (ncol,nlay,nflav,...) along the flavor axis with iflav
-    (ncol,nlay,ngpt) -> (ncol,nlay,ngpt,...)."""
-    extra = arr.ndim - 3
-    idx = iflav.reshape(iflav.shape + (1,) * extra)
-    idx = jnp.broadcast_to(idx, iflav.shape + arr.shape[3:])
-    return jnp.take_along_axis(arr, idx, axis=2)
+    """Gather (ncol, nlay, nflav) along the flavor axis with iflav
+    (ncol, nlay, ngpt) -> (ncol, nlay, ngpt).
+
+    Only rank-3 inputs: gathering with trailing unit/corner dims would force
+    XLA to tile tiny trailing axes onto the (sublane, lane) layout — a 64x
+    padding blowup on TPU (observed: a 67 GB s32 temp for a 1 GB gather).
+    Callers gather each trilinear-corner component separately instead.
+    """
+    assert arr.ndim == 3, arr.shape
+    return jnp.take_along_axis(arr, iflav, axis=2)
 
 
 def _interp3d_gather(kd: KDist, table, interp: Interp, scale_by_colmix: bool):
@@ -136,9 +140,6 @@ def _interp3d_gather(kd: KDist, table, interp: Interp, scale_by_colmix: bool):
     tflat = table.reshape(-1)
 
     iflav = _flavor_of_gpt(kd, interp)                     # (ncol,nlay,ngpt)
-    je0 = _gather_flav(interp.jeta0, iflav)                # (...,ngpt,2)
-    fmaj = _gather_flav(interp.fmajor, iflav)              # (...,ngpt,2,2,2)
-    cm = (_gather_flav(interp.col_mix, iflav) if scale_by_colmix else None)
 
     gidx = jnp.arange(ngpt, dtype=jnp.int32)[None, None, :]
     p0 = (interp.jpress0 + interp.itropo01)[:, :, None]    # (ncol,nlay,1)
@@ -147,12 +148,15 @@ def _interp3d_gather(kd: KDist, table, interp: Interp, scale_by_colmix: bool):
     out = 0.0
     for i in range(2):      # temperature pair
         base_t = jt + i
-        sc = cm[..., i] if scale_by_colmix else 1.0
+        je0 = _gather_flav(interp.jeta0[:, :, :, i], iflav)
+        sc = (_gather_flav(interp.col_mix[:, :, :, i], iflav)
+              if scale_by_colmix else 1.0)
         acc = 0.0
         for dp in range(2):
             for de in range(2):
-                idx = ((gidx * npress1 + (p0 + dp)) * neta + (je0[..., i] + de)) * ntemp + base_t
-                acc = acc + fmaj[..., i, dp, de] * jnp.take(tflat, idx)
+                w = _gather_flav(interp.fmajor[:, :, :, i, dp, de], iflav)
+                idx = ((gidx * npress1 + (p0 + dp)) * neta + (je0 + de)) * ntemp + base_t
+                acc = acc + w * jnp.take(tflat, idx)
         out = out + sc * acc
     return out
 
@@ -225,18 +229,18 @@ def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
     kflat = kd.krayl.reshape(-1)  # (2, ngpt, neta, ntemp)
 
     iflav = _flavor_of_gpt(kd, interp)
-    je0 = _gather_flav(interp.jeta0, iflav)     # (ncol,nlay,ngpt,2)
-    fmin = _gather_flav(interp.fminor, iflav)   # (ncol,nlay,ngpt,2,2)
 
     gidx = jnp.arange(ngpt, dtype=jnp.int32)[None, None, :]
     it = interp.itropo01[:, :, None]
     jt = interp.jtemp0[:, :, None]
-
     base = (it * ngpt + gidx) * neta
-    kloc = (fmin[..., 0, 0] * jnp.take(kflat, (base + je0[..., 0]) * ntemp + jt)
-            + fmin[..., 0, 1] * jnp.take(kflat, (base + je0[..., 0] + 1) * ntemp + jt)
-            + fmin[..., 1, 0] * jnp.take(kflat, (base + je0[..., 1]) * ntemp + jt + 1)
-            + fmin[..., 1, 1] * jnp.take(kflat, (base + je0[..., 1] + 1) * ntemp + jt + 1))
+
+    kloc = 0.0
+    for i in range(2):
+        je0 = _gather_flav(interp.jeta0[:, :, :, i], iflav)
+        for de in range(2):
+            w = _gather_flav(interp.fminor[:, :, :, i, de], iflav)
+            kloc = kloc + w * jnp.take(kflat, (base + je0 + de) * ntemp + jt + i)
 
     fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
     return kloc * fac
