@@ -49,11 +49,12 @@ def _flip_lay(a):
 
 @functools.partial(jax.jit, static_argnames=(
     "top_at_1", "gpt_chunk", "output_bnd_fluxes", "n_gauss_angles",
-    "with_clouds"))
+    "with_clouds", "output_optical", "with_fluxes"))
 def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
                    vmr, col_dry, emis_sfc, lwp, iwp, rel, dei,
                    *, top_at_1: bool, gpt_chunk, output_bnd_fluxes: bool,
-                   n_gauss_angles: int, with_clouds: bool):
+                   n_gauss_angles: int, with_clouds: bool,
+                   output_optical: bool = False, with_fluxes: bool = True):
     if not top_at_1:
         p_lay, t_lay, vmr, col_dry = map(_flip_lay, (p_lay, t_lay, vmr, col_dry))
         p_lev, t_lev = map(_flip_lay, (p_lev, t_lev))
@@ -76,6 +77,8 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
     bnd_dn = jnp.zeros((ncol, nlev, nbnd), dtype) if output_bnd_fluxes else None
 
     interp = gas_ops.interpolation(kd, p_lay, t_lay, col_gas)
+    optical = {k: [] for k in ("lw_tau", "lay_source", "lev_source",
+                               "sfc_source")} if output_optical else None
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
@@ -85,6 +88,13 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
                                     sfc_lay=nlay - 1)
         if with_clouds:
             tau = tau + flux_ops.expand_bands_to_gpt(cld.tau, kdc.gpt2band)
+        if output_optical:
+            optical["lw_tau"].append(tau)
+            optical["lay_source"].append(src.lay_src)
+            optical["lev_source"].append(src.lev_src)
+            optical["sfc_source"].append(src.sfc_src)
+        if not with_fluxes:
+            continue
 
         emis_gpt = flux_ops.expand_bands_to_gpt(emis_sfc, kdc.gpt2band)
         inc = jnp.zeros((ncol, g1 - g0), dtype)
@@ -98,26 +108,36 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
             bnd_up = bnd_up + flux_ops.sum_byband(up, kdc.gpt2band, nbnd)
             bnd_dn = bnd_dn + flux_ops.sum_byband(dn, kdc.gpt2band, nbnd)
 
-    out = {"lw_flux_up": flux_up, "lw_flux_dn": flux_dn,
-           "lw_flux_net": flux_dn - flux_up}
+    out = {}
+    if with_fluxes:
+        out.update({"lw_flux_up": flux_up, "lw_flux_dn": flux_dn,
+                    "lw_flux_net": flux_dn - flux_up})
     if output_bnd_fluxes:
         out.update(lw_bnd_flux_up=bnd_up, lw_bnd_flux_dn=bnd_dn,
                    lw_bnd_flux_net=bnd_dn - bnd_up)
+    if output_optical:
+        out.update({k: jnp.concatenate(v, axis=-1)
+                    for k, v in optical.items()})
     if not top_at_1:
-        out = {k: jnp.flip(v, axis=1) for k, v in out.items()}
+        # Flip back everything with a vertical axis 1 (sfc_source is
+        # (ncol, ngpt) — no vertical axis).
+        out = {k: (v if k == "sfc_source" else jnp.flip(v, axis=1))
+               for k, v in out.items()}
     return out
 
 
 @functools.partial(jax.jit, static_argnames=(
     "top_at_1", "gpt_chunk", "output_bnd_fluxes", "with_clouds",
-    "with_aerosols", "delta_cloud", "delta_aerosol"))
+    "with_aerosols", "delta_cloud", "delta_aerosol", "output_optical",
+    "with_fluxes"))
 def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
                    p_lay, p_lev, t_lay, vmr, col_dry,
                    sfc_alb_dir, sfc_alb_dif, tsi_scaling, mu0,
                    lwp, iwp, rel, dei, rh, aermr,
                    *, top_at_1: bool, gpt_chunk, output_bnd_fluxes: bool,
                    with_clouds: bool, with_aerosols: bool,
-                   delta_cloud: bool, delta_aerosol: bool):
+                   delta_cloud: bool, delta_aerosol: bool,
+                   output_optical: bool = False, with_fluxes: bool = True):
     if not top_at_1:
         p_lay, t_lay, vmr, col_dry = map(_flip_lay, (p_lay, t_lay, vmr, col_dry))
         p_lev = _flip_lay(p_lev)
@@ -152,6 +172,8 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
             for k in ("up", "dn", "dir")} if output_bnd_fluxes else None)
 
     interp = gas_ops.interpolation(kd, p_lay, t_lay, col_gas)
+    optical = {k: [] for k in ("sw_tau", "ssa", "g", "toa_source")} \
+        if output_optical else None
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
@@ -167,6 +189,13 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
             op = optics_ops.increment_2str_by_2str_bybnd(op, aer, kdc.gpt2band)
 
         toa = (kdc.solar_source[None, :] * tsi_scaling[:, None]).astype(dtype)
+        if output_optical:
+            optical["sw_tau"].append(op.tau)
+            optical["ssa"].append(op.ssa)
+            optical["g"].append(op.g)
+            optical["toa_source"].append(toa)
+        if not with_fluxes:
+            continue
         alb_dir = flux_ops.expand_bands_to_gpt(sfc_alb_dir, kdc.gpt2band)
         alb_dif = flux_ops.expand_bands_to_gpt(sfc_alb_dif, kdc.gpt2band)
 
@@ -183,16 +212,22 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
 
     # Nighttime columns (mu0 <= 0) get zero SW fluxes.
     day = (mu0 > 0.0).astype(dtype)[:, None]
-    out = {"sw_flux_up": flux_up * day, "sw_flux_dn": flux_dn * day,
-           "sw_flux_dn_dir": flux_dir * day,
-           "sw_flux_net": (flux_dn - flux_up) * day}
+    out = {}
+    if with_fluxes:
+        out.update({"sw_flux_up": flux_up * day, "sw_flux_dn": flux_dn * day,
+                    "sw_flux_dn_dir": flux_dir * day,
+                    "sw_flux_net": (flux_dn - flux_up) * day})
     if output_bnd_fluxes:
         d3 = day[:, :, None]
         out.update(sw_bnd_flux_up=bnd["up"] * d3, sw_bnd_flux_dn=bnd["dn"] * d3,
                    sw_bnd_flux_dn_dir=bnd["dir"] * d3,
                    sw_bnd_flux_net=(bnd["dn"] - bnd["up"]) * d3)
+    if output_optical:
+        out.update({k: jnp.concatenate(v, axis=-1)
+                    for k, v in optical.items()})
     if not top_at_1:
-        out = {k: jnp.flip(v, axis=1) for k, v in out.items()}
+        out = {k: (v if k == "toa_source" else jnp.flip(v, axis=1))
+               for k, v in out.items()}
     return out
 
 
@@ -229,7 +264,8 @@ class RadiationSolverLW(_SolverBase):
     def solve(self, gas_concs: GasConcs, p_lay, p_lev, t_lay, t_lev, t_sfc,
               emis_sfc, col_dry=None, lwp=None, iwp=None, rel=None, dei=None,
               gpt_chunk: Optional[int] = None, output_bnd_fluxes: bool = False,
-              n_gauss_angles: int = 1, dtype=None) -> dict:
+              n_gauss_angles: int = 1, dtype=None,
+              output_optical: bool = False, with_fluxes: bool = True) -> dict:
         """emis_sfc: (ncol, nbnd) surface emissivity per band.
 
         Cloud fields (lwp/iwp in g m-2, rel/dei in micron) enable the
@@ -252,7 +288,8 @@ class RadiationSolverLW(_SolverBase):
             cast(dei) if with_clouds else zeros,
             top_at_1=top_at_1, gpt_chunk=gpt_chunk,
             output_bnd_fluxes=output_bnd_fluxes,
-            n_gauss_angles=n_gauss_angles, with_clouds=with_clouds)
+            n_gauss_angles=n_gauss_angles, with_clouds=with_clouds,
+            output_optical=output_optical, with_fluxes=with_fluxes)
 
 
 class RadiationSolverSW(_SolverBase):
@@ -264,7 +301,8 @@ class RadiationSolverSW(_SolverBase):
               lwp=None, iwp=None, rel=None, dei=None, rh=None, aermr=None,
               gpt_chunk: Optional[int] = None, output_bnd_fluxes: bool = False,
               delta_cloud: bool = False, delta_aerosol: bool = False,
-              dtype=None) -> dict:
+              dtype=None, output_optical: bool = False,
+              with_fluxes: bool = True) -> dict:
         """sfc_alb_*: (ncol, nbnd); mu0: (ncol,); aermr: (ncol, nlay, 11)."""
         dtype = dtype or jnp.asarray(p_lay).dtype
         top_at_1 = self._detect_top(p_lay)
@@ -291,4 +329,5 @@ class RadiationSolverSW(_SolverBase):
             top_at_1=top_at_1, gpt_chunk=gpt_chunk,
             output_bnd_fluxes=output_bnd_fluxes,
             with_clouds=with_clouds, with_aerosols=with_aerosols,
-            delta_cloud=delta_cloud, delta_aerosol=delta_aerosol)
+            delta_cloud=delta_cloud, delta_aerosol=delta_aerosol,
+            output_optical=output_optical, with_fluxes=with_fluxes)
