@@ -1,0 +1,308 @@
+"""3D forward ray-traced shortwave driver (per-g-point spectral streaming).
+
+TPU-native equivalent of ``Radiation_solver_shortwave::solve_gpu`` in
+``src_test/Radiation_solver_rt.cu:668-990`` + ``Raytracer::trace_rays``:
+
+* the reference loops g-points on the host, re-running single-g-point gas
+  optics each iteration (``Gas_optics_rrtmgp_rt``); here gas optics runs
+  once for all g-points (spectrally chunked for memory) and a single
+  compiled ``lax.scan`` over the spectral axis drives the Monte-Carlo
+  tracer and the per-g-point flux accumulation (``add_from_gpoint``,
+  ``src_kernels_cuda_rt/gpt_combine_kernels_rt.cu``),
+* everything above the dynamic 3D domain is compressed into the top domain
+  cell (``bundles_optical_props_tod``, Raytracer.cu:111-166),
+* the optional 1D two-stream pass reuses the standard SW solver.
+
+Domain conventions: columns are an (ny, nx) raster with column index
+``icol = iy*nx + ix``; the surface is at layer index 0 (LES-style grids);
+the ray-traced domain spans the lowest ``nz`` layers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import fluxes as flux_ops, gas_optics as gas_ops, optics_ops
+from ..ops import cloud_optics as cloud_ops, aerosol_optics as aero_ops
+from ..ops import rte_sw
+from .kdist import KDist
+from . import raytracer as rt
+
+
+class RTFluxes(NamedTuple):
+    # broadband ray-traced fluxes
+    rt_flux_tod_dn: object   # (ny, nx)
+    rt_flux_tod_up: object
+    rt_flux_sfc_dir: object
+    rt_flux_sfc_dif: object
+    rt_flux_sfc_up: object
+    rt_flux_abs_dir: object  # (nz, ny, nx)
+    rt_flux_abs_dif: object
+    # broadband two-stream fluxes (None unless requested)
+    sw_flux_up: object
+    sw_flux_dn: object
+    sw_flux_dn_dir: object
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "grid_cells", "photons_per_pixel", "kn_grid", "independent_column",
+    "gpt_chunk", "with_twostream", "with_raytracing", "with_clouds",
+    "with_aerosols", "delta_cloud", "delta_aerosol"))
+def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
+                   p_lay, p_lev, t_lay, vmr, col_dry,
+                   sfc_alb_dir, sfc_alb_dif, tsi_scaling, mu0, azi,
+                   lwp, iwp, rel, dei, rh, aermr, grid_d,
+                   *, grid_cells, kn_grid, photons_per_pixel: int,
+                   independent_column: bool, gpt_chunk,
+                   with_twostream: bool, with_raytracing: bool,
+                   with_clouds: bool, with_aerosols: bool,
+                   delta_cloud: bool, delta_aerosol: bool):
+    nz, ny, nx = grid_cells
+    ncol, nlay = p_lay.shape
+    dtype = p_lay.dtype
+
+    # Canonical top-at-0 for the 1D work: flip (surface is at index 0).
+    flip = lambda a: jnp.flip(a, axis=1)
+    colgas_flip = gas_ops.build_col_gas(flip(vmr), flip(col_dry))
+    interp = gas_ops.interpolation(kd, flip(p_lay), flip(t_lay), colgas_flip)
+
+    cld = aer = None
+    if with_clouds:
+        cld = cloud_ops.cloud_optics_2str(cloud_lut, lwp, iwp, rel, dei)
+        if delta_cloud:
+            cld = optics_ops.delta_scale(cld)      # banded, surface-at-0
+    if with_aerosols:
+        aer = aero_ops.aerosol_optics_2str(aerosol_lut, aermr, rh, p_lev)
+        if delta_aerosol:
+            aer = optics_ops.delta_scale(aer)
+
+    mu0_safe = jnp.where(mu0 > 0.0, mu0, 1.0)
+
+    # --- pass 1: per-g-point optics (gas) + two-stream accumulation ---
+    step = gpt_chunk or kd.ngpt
+    gas_tau_parts, gas_ssa_parts = [], []
+    ts_up = jnp.zeros((ncol, nlay + 1), dtype)
+    ts_dn = jnp.zeros((ncol, nlay + 1), dtype)
+    ts_dir = jnp.zeros((ncol, nlay + 1), dtype)
+
+    for g0 in range(0, kd.ngpt, step):
+        g1 = min(g0 + step, kd.ngpt)
+        kdc = kd.slice_gpt(g0, g1)
+        tau_abs = gas_ops.tau_major(kdc, interp)
+        tau_abs = gas_ops.tau_minor(kdc, interp, flip(p_lay), flip(t_lay),
+                                    colgas_flip, tau_abs)
+        tau_ray = gas_ops.tau_rayleigh(kdc, interp, colgas_flip, flip(col_dry))
+        tau_g, ssa_g, _ = gas_ops.combine_abs_and_rayleigh(tau_abs, tau_ray)
+        # back to surface-at-0 for the 3D work
+        gas_tau_parts.append(flip(tau_g))
+        gas_ssa_parts.append(flip(ssa_g))
+
+        if with_twostream:
+            op = optics_ops.OpticalProps2str(
+                tau=tau_g, ssa=ssa_g, g=jnp.zeros_like(tau_g))
+            if with_clouds:
+                cldf = optics_ops.OpticalProps2str(
+                    tau=flip(cld.tau), ssa=flip(cld.ssa), g=flip(cld.g))
+                op = optics_ops.increment_2str_by_2str_bybnd(op, cldf, kdc.gpt2band)
+            if with_aerosols:
+                aerf = optics_ops.OpticalProps2str(
+                    tau=flip(aer.tau), ssa=flip(aer.ssa), g=flip(aer.g))
+                op = optics_ops.increment_2str_by_2str_bybnd(op, aerf, kdc.gpt2band)
+            toa = (kdc.solar_source[None, :] * tsi_scaling[:, None]).astype(dtype)
+            up, dn, fdir = rte_sw.sw_solver_2stream(
+                op.tau, op.ssa, op.g, mu0_safe,
+                flux_ops.expand_bands_to_gpt(sfc_alb_dir, kdc.gpt2band),
+                flux_ops.expand_bands_to_gpt(sfc_alb_dif, kdc.gpt2band), toa)
+            ts_up = ts_up + flux_ops.sum_broadband(up)
+            ts_dn = ts_dn + flux_ops.sum_broadband(dn)
+            ts_dir = ts_dir + flux_ops.sum_broadband(fdir)
+
+    day = (mu0 > 0.0).astype(dtype)[:, None]
+    ts_out = ((flip(ts_up) * day, flip(ts_dn) * day, flip(ts_dir) * day)
+              if with_twostream else (None, None, None))
+    # two-stream outputs flipped back to surface-at-0 level ordering.
+
+    if not with_raytracing:
+        zeros2 = jnp.zeros((ny, nx), dtype)
+        zeros3 = jnp.zeros((nz, ny, nx), dtype)
+        return RTFluxes(zeros2, zeros2, zeros2, zeros2, zeros2, zeros3, zeros3,
+                        *ts_out)
+
+    gas_tau = jnp.concatenate(gas_tau_parts, axis=-1)   # (ncol, nlay, ngpt)
+    gas_ssa = jnp.concatenate(gas_ssa_parts, axis=-1)
+
+    # --- pass 2: scan over g-points driving the Monte-Carlo tracer ---
+    g2b = np.asarray(kd.gpt2band, dtype=np.int32)
+    zero_b = jnp.zeros((ncol, nlay, kd.nbnd), dtype)
+    cld_tau_b = cld.tau if with_clouds else zero_b
+    cld_ssa_b = cld.ssa if with_clouds else zero_b
+    cld_g_b = cld.g if with_clouds else zero_b
+    aer_tau_b = aer.tau if with_aerosols else zero_b
+    aer_ssa_b = aer.ssa if with_aerosols else zero_b
+    aer_g_b = aer.g if with_aerosols else zero_b
+    nb = cld_tau_b.shape[-1]
+
+    dz = grid_d[0]
+    zen = jnp.arccos(jnp.clip(mu0_safe[0], -1.0, 1.0))
+    sun_dir = jnp.stack([
+        -jnp.sin(zen) * jnp.cos(0.5 * jnp.pi - azi[0]),
+        -jnp.sin(zen) * jnp.sin(0.5 * jnp.pi - azi[0]),
+        -jnp.cos(zen)])
+
+    def to3d(col_field_lay):  # (ncol, nz) -> (nz, ny, nx)
+        return col_field_lay.T.reshape(nz, ny, nx)
+
+    alb2d = sfc_alb_dir[:, 0].reshape(ny, nx)  # overwritten per band below
+    rel3d = to3d(rel[:, :nz]) if with_clouds else jnp.zeros((nz, ny, nx), dtype)
+
+    def tod_compress(tau, extra):
+        """Sum the top domain cell and everything above into layer nz-1.
+        tau: (ncol, nlay) weighted quantity; returns (ncol, nz)."""
+        low = tau[:, :nz - 1]
+        top = tau[:, nz - 1:].sum(axis=1, keepdims=True)
+        return jnp.concatenate([low, top], axis=1)
+
+    def body(acc, xs):
+        igpt, tau_g, ssa_g, solar_g = xs
+        band = jnp.asarray(g2b)[igpt]
+
+        def pick_band(arr_b):   # (ncol, nlay, nbnd) -> (ncol, nlay)
+            # mode="clip": jnp.take_along_axis defaults to 'fill' (NaN) for
+            # out-of-bounds indices.
+            return jnp.take_along_axis(
+                arr_b, jnp.broadcast_to(band, (ncol, nlay, 1)).astype(jnp.int32),
+                axis=2, mode="clip")[:, :, 0]
+
+        tau_cld = pick_band(cld_tau_b)
+        ssa_cld = pick_band(cld_ssa_b)
+        g_cld = pick_band(cld_g_b)
+        tau_aer = pick_band(aer_tau_b)
+        ssa_aer = pick_band(aer_ssa_b)
+        g_aer = pick_band(aer_g_b)
+
+        # total optics per cell = gas + cloud + aerosol (increment op)
+        tau_tot = tau_g + tau_cld + tau_aer
+        tausca = tau_g * ssa_g + tau_cld * ssa_cld + tau_aer * ssa_aer
+        ssa_tot = tausca / jnp.maximum(tau_tot, 1e-30)
+
+        # TOD compression of scattering-weighted quantities.
+        tau_tot_c = tod_compress(tau_tot, None)
+        tausca_c = tod_compress(tausca, None)
+        ssa_tot_c = tausca_c / jnp.maximum(tau_tot_c, 1e-30)
+        tau_cld_c = tod_compress(tau_cld, None)
+        tausca_cld_c = tod_compress(tau_cld * ssa_cld, None)
+        ssa_cld_c = tausca_cld_c / jnp.maximum(tau_cld_c, 1e-30)
+        asy_cld_c = tod_compress(tau_cld * ssa_cld * g_cld, None) \
+            / jnp.maximum(tausca_cld_c, 1e-30)
+        tau_aer_c = tod_compress(tau_aer, None)
+        tausca_aer_c = tod_compress(tau_aer * ssa_aer, None)
+        ssa_aer_c = tausca_aer_c / jnp.maximum(tau_aer_c, 1e-30)
+        asy_aer_c = tod_compress(tau_aer * ssa_aer * g_aer, None) \
+            / jnp.maximum(tausca_aer_c, 1e-30)
+
+        k = rt.bundle_optical_props(
+            to3d(tau_tot_c), to3d(ssa_tot_c),
+            to3d(tau_cld_c), to3d(ssa_cld_c), to3d(asy_cld_c),
+            to3d(tau_aer_c), to3d(ssa_aer_c), to3d(asy_aer_c), dz)
+
+        alb_band = jnp.take_along_axis(
+            sfc_alb_dir, jnp.broadcast_to(band, (ncol, 1)).astype(jnp.int32),
+            axis=1, mode="clip")[:, 0].reshape(ny, nx)
+
+        tod_dir = solar_g * tsi_scaling[0] * mu0_safe[0]
+        key_g = jax.random.fold_in(key, igpt)
+        out = rt.trace_rays(
+            key_g, k[0], k[1], k[2], k[3], k[4], k[5], rel3d, alb_band,
+            kn_grid, grid_d, tod_dir, jnp.zeros((), dtype), sun_dir,
+            photons_per_pixel=photons_per_pixel,
+            independent_column=independent_column)
+
+        acc = tuple(a + b for a, b in zip(acc, (
+            out.flux_toa_down, out.flux_tod_up, out.flux_sfc_dir,
+            out.flux_sfc_dif, out.flux_sfc_up, out.flux_abs_dir,
+            out.flux_abs_dif)))
+        return acc, None
+
+    zeros2 = jnp.zeros((ny, nx), dtype)
+    zeros3 = jnp.zeros((nz, ny, nx), dtype)
+    acc0 = (zeros2, zeros2, zeros2, zeros2, zeros2, zeros3, zeros3)
+    xs = (jnp.arange(kd.ngpt, dtype=jnp.int32),
+          jnp.moveaxis(gas_tau, 2, 0),
+          jnp.moveaxis(gas_ssa, 2, 0),
+          jnp.asarray(kd.solar_source))
+    acc, _ = jax.lax.scan(body, acc0, xs)
+
+    day0 = (mu0[0] > 0.0).astype(dtype)
+    acc = tuple(a * day0 for a in acc)
+    return RTFluxes(*acc, *ts_out)
+
+
+class RadiationSolverRT:
+    """Shortwave 3D forward ray-tracing solver (per-g-point streaming)."""
+
+    def __init__(self, kdist: KDist, cloud_lut=None, aerosol_lut=None,
+                 mie_cdf=None, mie_ang=None):
+        self.kdist = kdist
+        self.cloud_lut = cloud_lut
+        self.aerosol_lut = aerosol_lut
+        self.mie_cdf = mie_cdf
+        self.mie_ang = mie_ang
+
+    def solve(self, gas_concs, p_lay, p_lev, t_lay, mu0, azi,
+              sfc_alb_dir, sfc_alb_dif, grid_cells, grid_d, kn_grid,
+              tsi_scaling=None, col_dry=None, lwp=None, iwp=None, rel=None,
+              dei=None, rh=None, aermr=None, photons_per_pixel: int = 32,
+              independent_column: bool = False, raytracing: bool = True,
+              twostream: bool = False, delta_cloud: bool = False,
+              delta_aerosol: bool = False, gpt_chunk: Optional[int] = None,
+              key=None, dtype=None) -> RTFluxes:
+        """grid_cells = (nz, ny, nx); grid_d = (dz, dy, dx) in meters.
+
+        Surface must be at layer index 0 (LES-style ordering;
+        p_lay[:, 0] > p_lay[:, -1]).
+        """
+        dtype = dtype or np.float32
+        p = np.asarray(p_lay)
+        assert p[0, 0] > p[0, -1], "RT solver expects surface at layer 0"
+        ncol, nlay = p.shape
+        nz, ny, nx = grid_cells
+        assert ncol == ny * nx and nz <= nlay
+
+        vmr = gas_concs.materialize(self.kdist.gas_names, ncol, nlay, dtype=dtype)
+        if col_dry is None:
+            h2o = gas_concs.expand("h2o", ncol, nlay)
+            col_dry = np.asarray(gas_ops.get_col_dry(
+                jnp.asarray(h2o, dtype), jnp.asarray(p_lev, dtype)))
+        if tsi_scaling is None:
+            tsi_scaling = np.ones(ncol)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        cast = lambda a: jnp.asarray(a, dtype)
+        with_clouds = lwp is not None
+        with_aerosols = aermr is not None
+        zeros = jnp.zeros((ncol, nlay), dtype)
+        zeros3 = jnp.zeros((ncol, nlay, 11), dtype)
+        return _solve_rt_impl(
+            self.kdist, self.cloud_lut, self.aerosol_lut, key,
+            cast(p_lay), cast(p_lev), cast(t_lay), cast(vmr), cast(col_dry),
+            cast(sfc_alb_dir), cast(sfc_alb_dif), cast(tsi_scaling),
+            cast(mu0), cast(azi),
+            cast(lwp) if with_clouds else zeros,
+            cast(iwp) if with_clouds else zeros,
+            cast(rel) if with_clouds else zeros,
+            cast(dei) if with_clouds else zeros,
+            cast(rh) if with_aerosols else zeros,
+            cast(aermr) if with_aerosols else zeros3,
+            jnp.asarray(grid_d, dtype),
+            grid_cells=tuple(grid_cells), kn_grid=tuple(kn_grid),
+            photons_per_pixel=photons_per_pixel,
+            independent_column=independent_column, gpt_chunk=gpt_chunk,
+            with_twostream=twostream, with_raytracing=raytracing,
+            with_clouds=with_clouds, with_aerosols=with_aerosols,
+            delta_cloud=delta_cloud, delta_aerosol=delta_aerosol)

@@ -1,0 +1,85 @@
+"""3D forward ray-traced driver: MC vs two-stream cross-validation (the
+reference's own physical validation strategy, Radiation_solver_rt.cu:903-956)."""
+
+import numpy as np
+import pytest
+
+from rte_rrtmgp_tpu.data import synthetic
+from rte_rrtmgp_tpu.models import KDist, CloudLUT
+from rte_rrtmgp_tpu.models.radiation_rt import RadiationSolverRT
+from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+
+from helpers import GASES
+
+NY, NX, NZ, NLAY = 4, 4, 12, 24
+DZ = 500.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    kd = KDist.from_raw(synthetic.make_kdist_raw(False, gpt_per_band=2),
+                        GASES, dtype=np.float32)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "c.nc")
+        synthetic.write_cloud_nc(p, synthetic.make_cloud_raw(False))
+        clut = CloudLUT.from_netcdf(p, dtype=np.float32)
+    atm = make_atmosphere(NY * NX, NLAY, seed=5)
+    return kd, clut, atm
+
+
+def _solve(kd, clut, atm, **kw):
+    ncol = NY * NX
+    args = dict(
+        gas_concs=atm["gas_concs"], p_lay=atm["p_lay"], p_lev=atm["p_lev"],
+        t_lay=atm["t_lay"], mu0=np.full(ncol, 0.8), azi=np.zeros(ncol),
+        sfc_alb_dir=np.full((ncol, kd.nbnd), 0.06),
+        sfc_alb_dif=np.full((ncol, kd.nbnd), 0.06),
+        grid_cells=(NZ, NY, NX), grid_d=(DZ, 1000.0, 1000.0),
+        kn_grid=(4, 2, 2), photons_per_pixel=64)
+    args.update(kw)
+    return RadiationSolverRT(kd, clut).solve(**args)
+
+
+def test_clear_sky_mc_matches_twostream(setup):
+    kd, clut, atm = setup
+    out = _solve(kd, clut, atm, twostream=True)
+    mc_sfc = (np.asarray(out.rt_flux_sfc_dir)
+              + np.asarray(out.rt_flux_sfc_dif)).mean()
+    ts_sfc = np.asarray(out.sw_flux_dn)[:, 0].mean()
+    assert abs(mc_sfc - ts_sfc) / ts_sfc < 0.05, (mc_sfc, ts_sfc)
+    # Direct beam agrees tightly (deterministic path through same optics).
+    mc_dir = np.asarray(out.rt_flux_sfc_dir).mean()
+    ts_dir = np.asarray(out.sw_flux_dn_dir)[:, 0].mean()
+    assert abs(mc_dir - ts_dir) / ts_dir < 0.05, (mc_dir, ts_dir)
+
+
+def test_energy_budget_closes(setup):
+    kd, clut, atm = setup
+    out = _solve(kd, clut, atm)
+    toa = np.asarray(out.rt_flux_tod_dn).mean()
+    tod_up = np.asarray(out.rt_flux_tod_up).mean()
+    sfc_net = (np.asarray(out.rt_flux_sfc_dir) + np.asarray(out.rt_flux_sfc_dif)
+               - np.asarray(out.rt_flux_sfc_up)).mean()
+    atm_abs = (np.asarray(out.rt_flux_abs_dir)
+               + np.asarray(out.rt_flux_abs_dif)).mean(axis=(1, 2)).sum() * DZ
+    assert toa == pytest.approx(kd.total_solar_irradiance() * 0.8, rel=1e-5)
+    assert abs(tod_up + sfc_net + atm_abs - toa) / toa < 0.02
+
+
+def test_cloudy_mc(setup):
+    kd, clut, atm = setup
+    out = _solve(kd, clut, atm, lwp=atm["lwp"], iwp=atm["iwp"],
+                 rel=atm["rel"], dei=atm["dei"], delta_cloud=True,
+                 twostream=True)
+    mc_sfc = (np.asarray(out.rt_flux_sfc_dir)
+              + np.asarray(out.rt_flux_sfc_dif)).mean()
+    ts_sfc = np.asarray(out.sw_flux_dn)[:, 0].mean()
+    # 3D MC vs 1D two-stream differ physically in cloudy scenes, but the
+    # domain means should stay within ~15%.
+    assert abs(mc_sfc - ts_sfc) / ts_sfc < 0.15, (mc_sfc, ts_sfc)
+    # Clouds increase the reflected flux vs clear sky.
+    clear = _solve(kd, clut, atm)
+    assert (np.asarray(out.rt_flux_tod_up).mean()
+            > np.asarray(clear.rt_flux_tod_up).mean())
+    assert np.isfinite(np.asarray(out.rt_flux_abs_dif)).all()
