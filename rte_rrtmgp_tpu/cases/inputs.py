@@ -11,7 +11,8 @@ from .profiles import make_atmosphere
 
 def write_input_nc(path: str, atm: dict, n_col_x: int, n_col_y: int = 1,
                    nbnd_lw: int = 16, nbnd_sw: int = 14,
-                   with_clouds: bool = True, with_aerosols: bool = False):
+                   with_clouds: bool = True, with_aerosols: bool = False,
+                   rt_grid: dict = None):
     """Write an atmosphere dict (from ``make_atmosphere``) as a reference-
     format input file.  Column index = y*nx + x; field layout (lay, y, x)."""
     ncol, nlay = atm["p_lay"].shape
@@ -67,6 +68,22 @@ def write_input_nc(path: str, atm: dict, n_col_x: int, n_col_y: int = 1,
             for i in range(11):
                 nc.write(f"aermr{i+1:02d}", to_zyx(atm["aermr"][:, :, i], nlay),
                          ("lay", "y", "x"))
+
+        if rt_grid is not None:
+            # 3D ray-tracing grid (test_rte_rrtmgp_rt.cu:327-346): uniform
+            # x/y spacing, z from the case grid, null-grid dims, sun angles.
+            nz = rt_grid["nz"]
+            dx = rt_grid.get("dx", 1000.0)
+            dy = rt_grid.get("dy", 1000.0)
+            nc.write("x", (np.arange(n_col_x) + 0.5) * dx, ("x",))
+            nc.write("y", (np.arange(n_col_y) + 0.5) * dy, ("y",))
+            nc.write("z", np.asarray(atm["z_lay"][:nz]), ("z",))
+            for name, val in (("ngrid_x", rt_grid.get("ngrid_x", 2)),
+                              ("ngrid_y", rt_grid.get("ngrid_y", 2)),
+                              ("ngrid_z", rt_grid.get("ngrid_z", 4)),
+                              ("sza", rt_grid.get("sza", 0.5)),
+                              ("azi", rt_grid.get("azi", 0.0))):
+                nc.write_scalar(name, val)
 
 
 def make_case_files(workdir: str, case: str = "allsky", seed: int = 0,

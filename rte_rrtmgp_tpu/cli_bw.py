@@ -1,0 +1,133 @@
+"""Backward (camera) ray-tracing CLI — ``test_rte_rrtmgp_bw`` equivalent.
+
+Reads ``rte_rrtmgp_input.nc`` with the z grid and a "camera-settings" group
+(``src_test/test_rte_rrtmgp_bw.cu:300-335``), renders XYZ images or
+broadband radiances, writes ``rte_rrtmgp_output.nc`` with "XYZ" /
+"radiance" variables.
+
+Usage: python -m rte_rrtmgp_tpu.cli_bw [--image|--broadband]
+           [--bw-raytracing N] [--cloud-optics] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from .cli import GAS_NAMES_ALL, _read_field, _read_vmr
+from .models import CloudLUT, AerosolLUT, GasConcs, KDist
+from .models.radiation_bw import RadiationSolverBW
+from .models.raytracer_bw import Camera
+from .utils import status
+from .utils.ncio import NcReader, NcWriter
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rte_rrtmgp_bw")
+    p.add_argument("--image", action="store_true", default=True)
+    p.add_argument("--broadband", dest="image", action="store_false")
+    p.add_argument("--bw-raytracing", type=int, default=16,
+                   help="photons per pixel")
+    p.add_argument("--cloud-optics", action="store_true")
+    p.add_argument("--aerosol-optics", action="store_true")
+    p.add_argument("--delta-cloud", action="store_true")
+    p.add_argument("--n-sub", type=int, default=3)
+    p.add_argument("--gpt-chunk", type=int, default=None)
+    p.add_argument("--input", default="rte_rrtmgp_input.nc")
+    p.add_argument("--output", default="rte_rrtmgp_output.nc")
+    p.add_argument("--coefs-sw", default="coefficients_sw.nc")
+    p.add_argument("--cloud-sw", default="cloud_coefficients_sw.nc")
+    p.add_argument("--aerosol", default="aerosol_optics.nc")
+    args = p.parse_args(argv)
+
+    status.print_message("Reading atmospheric input data from NetCDF.")
+    inp = NcReader(args.input)
+    nx, ny = inp.dim("x"), inp.dim("y")
+    ncol = nx * ny
+    nlay, nlev = inp.dim("lay"), inp.dim("lev")
+    nz = inp.dim("z")
+
+    grid_x, grid_y, grid_z = inp.read("x"), inp.read("y"), inp.read("z")
+    dxy = lambda g: float(g[1] - g[0]) if len(g) > 1 else float(2 * g[0])
+    grid_d = (dxy(grid_z), dxy(grid_y), dxy(grid_x))
+    kn_grid = (int(inp.read_scalar("ngrid_z")), int(inp.read_scalar("ngrid_y")),
+               int(inp.read_scalar("ngrid_x")))
+    z_lev = inp.read("z_lev")
+
+    cam_grp = inp.group("camera-settings")
+    camera = Camera(
+        position=(cam_grp.read_scalar("px"), cam_grp.read_scalar("py"),
+                  cam_grp.read_scalar("pz")),
+        cam_type=int(cam_grp.read_scalar("cam_type")),
+        yaw_deg=cam_grp.read_scalar("yaw"),
+        pitch_deg=cam_grp.read_scalar("pitch"),
+        roll_deg=cam_grp.read_scalar("roll"),
+        fov=cam_grp.read_scalar("fov"),
+        nx=int(cam_grp.read_scalar("nx")), ny=int(cam_grp.read_scalar("ny")))
+
+    p_lay = _read_field(inp, "p_lay", nlay, ncol)
+    t_lay = _read_field(inp, "t_lay", nlay, ncol)
+    p_lev = _read_field(inp, "p_lev", nlev, ncol)
+
+    gas_concs = GasConcs()
+    for gas in GAS_NAMES_ALL:
+        _read_vmr(inp, gas, gas_concs, nlay, ncol)
+
+    mu0 = np.asarray(inp.read("mu0")).reshape(ncol) if inp.has("mu0") \
+        else np.full(ncol, float(np.cos(inp.read_scalar("sza"))))
+    azi = np.asarray(inp.read("azi")).reshape(-1)
+    azi = np.full(ncol, float(azi[0]))
+    land_use = (np.asarray(inp.read("land_use_map")).reshape(ncol)
+                if inp.has("land_use_map") else np.ones(ncol))
+
+    kd = KDist.from_netcdf(args.coefs_sw, gas_concs.names(), dtype=np.float32)
+    sfc_alb = np.asarray(inp.read("sfc_alb_dir")).reshape(ncol, kd.nbnd)
+
+    clouds = {}
+    clut = None
+    if args.cloud_optics:
+        clut = CloudLUT.from_netcdf(args.cloud_sw, dtype=np.float32)
+        for k in ("lwp", "iwp", "rel", "dei"):
+            clouds[k] = _read_field(inp, k, nlay, ncol)
+    alut = None
+    aerosols = {}
+    if args.aerosol_optics:
+        alut = AerosolLUT.from_netcdf(args.aerosol, dtype=np.float32)
+        aerosols["rh"] = _read_field(inp, "rh", nlay, ncol)
+        aermr = np.zeros((ncol, nlay, 11), np.float32)
+        for i in range(11):
+            aermr[:, :, i] = _read_field(inp, f"aermr{i+1:02d}", nlay, ncol)
+        aerosols["aermr"] = aermr
+    inp.close()
+
+    solver = RadiationSolverBW(kd, clut, alut)
+    mode = "image" if args.image else "broadband"
+    status.print_message(f"Rendering ({mode}, {args.bw_raytracing} photons/pixel).")
+    import time
+    t0 = time.perf_counter()
+    out = solver.solve(
+        gas_concs=gas_concs, p_lay=p_lay, p_lev=p_lev, t_lay=t_lay,
+        mu0=mu0, azi=azi, sfc_alb=sfc_alb, land_use_map=land_use,
+        camera=camera, grid_cells=(nz, ny, nx), grid_d=grid_d,
+        kn_grid=kn_grid, z_lev=z_lev, photons_per_pixel=args.bw_raytracing,
+        mode=mode, n_sub=args.n_sub, delta_cloud=args.delta_cloud,
+        gpt_chunk=args.gpt_chunk, **clouds, **aerosols)
+    status.print_message(
+        f"Duration renderer: {(time.perf_counter()-t0)*1e3:.2f} (ms)")
+
+    with NcWriter(args.output) as w:
+        w.def_dim("x", camera.nx)
+        w.def_dim("y", camera.ny)
+        w.def_dim("n", 3)
+        if mode == "image":
+            w.write("XYZ", np.asarray(out["XYZ"]), ("n", "y", "x"),
+                    attrs={"long_name": "XYZ tristimulus values"})
+        w.write("radiance", np.asarray(out["radiance"]), ("y", "x"),
+                attrs={"long_name": "shortwave radiance"})
+    status.print_message("Finished.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,173 @@
+"""3D forward ray-tracing CLI — ``test_rte_rrtmgp_rt`` equivalent.
+
+Reads ``rte_rrtmgp_input.nc`` with the z grid and null-grid dims
+(``src_test/test_rte_rrtmgp_rt.cu:327-346``), runs the shortwave solver
+with per-g-point Monte-Carlo ray tracing (and optionally the 1D two-stream
+pass), writes the ray-traced fluxes.
+
+Flags mirror the reference (`:227-247`): --raytracing N --two-stream
+--independent-column --cloud-optics --aerosol-optics --delta-cloud
+--delta-aerosol --tica.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from .cli import GAS_NAMES_ALL, _read_field, _read_vmr
+from .models import AerosolLUT, CloudLUT, GasConcs, KDist
+from .models.radiation_rt import RadiationSolverRT
+from .utils import status
+from .utils.ncio import NcReader, NcWriter
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rte_rrtmgp_rt")
+    p.add_argument("--raytracing", type=int, default=32,
+                   help="photons per pixel")
+    p.add_argument("--two-stream", action="store_true")
+    p.add_argument("--independent-column", action="store_true")
+    p.add_argument("--cloud-optics", action="store_true")
+    p.add_argument("--aerosol-optics", action="store_true")
+    p.add_argument("--delta-cloud", action="store_true")
+    p.add_argument("--delta-aerosol", action="store_true")
+    p.add_argument("--tica", action="store_true",
+                   help="tilt columns along the sun ray and solve 1D "
+                        "(forces independent-column)")
+    p.add_argument("--gpt-chunk", type=int, default=None)
+    p.add_argument("--input", default="rte_rrtmgp_input.nc")
+    p.add_argument("--output", default="rte_rrtmgp_output.nc")
+    p.add_argument("--coefs-sw", default="coefficients_sw.nc")
+    p.add_argument("--cloud-sw", default="cloud_coefficients_sw.nc")
+    p.add_argument("--aerosol", default="aerosol_optics.nc")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    status.print_message("Reading atmospheric input data from NetCDF.")
+    inp = NcReader(args.input)
+    nx, ny = inp.dim("x"), inp.dim("y")
+    ncol = nx * ny
+    nlay, nlev = inp.dim("lay"), inp.dim("lev")
+    nz = inp.dim("z")
+
+    grid_x, grid_y, grid_z = inp.read("x"), inp.read("y"), inp.read("z")
+    dxy = lambda g: float(g[1] - g[0]) if len(g) > 1 else float(2 * g[0])
+    grid_d = (dxy(grid_z), dxy(grid_y), dxy(grid_x))
+    kn_grid = (int(inp.read_scalar("ngrid_z")), int(inp.read_scalar("ngrid_y")),
+               int(inp.read_scalar("ngrid_x")))
+
+    p_lay = _read_field(inp, "p_lay", nlay, ncol)
+    t_lay = _read_field(inp, "t_lay", nlay, ncol)
+    p_lev = _read_field(inp, "p_lev", nlev, ncol)
+    t_lev = _read_field(inp, "t_lev", nlev, ncol)
+
+    gas_concs = GasConcs()
+    for gas in GAS_NAMES_ALL:
+        _read_vmr(inp, gas, gas_concs, nlay, ncol)
+
+    mu0 = np.asarray(inp.read("mu0")).reshape(ncol) if inp.has("mu0") \
+        else np.full(ncol, float(np.cos(inp.read_scalar("sza"))))
+    azi_v = float(np.asarray(inp.read("azi")).reshape(-1)[0]) if inp.has("azi") else 0.0
+    azi = np.full(ncol, azi_v)
+
+    clouds = {}
+    clut = None
+    if args.cloud_optics:
+        clut = CloudLUT.from_netcdf(args.cloud_sw, dtype=np.float32)
+        for k in ("lwp", "iwp", "rel", "dei"):
+            clouds[k] = _read_field(inp, k, nlay, ncol)
+    alut = None
+    aerosols = {}
+    if args.aerosol_optics:
+        alut = AerosolLUT.from_netcdf(args.aerosol, dtype=np.float32)
+        aerosols["rh"] = _read_field(inp, "rh", nlay, ncol)
+        aermr = np.zeros((ncol, nlay, 11), np.float32)
+        for i in range(11):
+            aermr[:, :, i] = _read_field(inp, f"aermr{i+1:02d}", nlay, ncol)
+        aerosols["aermr"] = aermr
+
+    kd = KDist.from_netcdf(args.coefs_sw, gas_concs.names(), dtype=np.float32)
+    alb_dir = np.asarray(inp.read("sfc_alb_dir")).reshape(ncol, kd.nbnd)
+    alb_dif = np.asarray(inp.read("sfc_alb_dif")).reshape(ncol, kd.nbnd)
+    inp.close()
+
+    independent_column = args.independent_column or args.tica
+    if args.tica:
+        status.print_message("Applying TICA tilt along the sun ray.")
+        from .tools.tica_tilt import tica_tilt
+
+        xh = np.arange(nx + 1) * grid_d[2]
+        yh = np.arange(ny + 1) * grid_d[1]
+        zh = np.arange(nz + 1) * grid_d[0]
+        z = 0.5 * (zh[1:] + zh[:-1])
+        fields = {}
+        for k, v in {**clouds, **{k: v for k, v in aerosols.items()
+                                  if k == "rh"}}.items():
+            fields[k] = v
+        for g in gas_concs.names():
+            vv = gas_concs.get_vmr(g)
+            if vv.ndim == 2:
+                fields[f"vmr_{g}"] = vv
+        sza = float(np.arccos(np.clip(mu0[0], -1, 1)))
+        tilt = tica_tilt(sza, azi_v, nx, ny, xh, yh, zh, z, fields,
+                         p_lay, t_lay, p_lev, t_lev)
+        p_lay, t_lay = tilt["p_lay"], tilt["t_lay"]
+        p_lev, t_lev = tilt["p_lev"], tilt["t_lev"]
+        for k in list(clouds):
+            clouds[k] = tilt["fields"][k]
+        if "rh" in aerosols:
+            aerosols["rh"] = tilt["fields"]["rh"]
+        for g in gas_concs.names():
+            if f"vmr_{g}" in tilt["fields"]:
+                gas_concs.set_vmr(g, tilt["fields"][f"vmr_{g}"])
+        nz = tilt["n_tilt"]
+        nlay = p_lay.shape[1]
+        nlev = nlay + 1
+        # vertical direct beam after tilting
+        mu0 = np.ones(ncol)
+
+    solver = RadiationSolverRT(kd, clut, alut)
+    status.print_message(f"Tracing {args.raytracing} photons per pixel.")
+    t0 = time.perf_counter()
+    import jax
+
+    out = solver.solve(
+        gas_concs=gas_concs, p_lay=p_lay, p_lev=p_lev, t_lay=t_lay,
+        mu0=mu0, azi=azi, sfc_alb_dir=alb_dir, sfc_alb_dif=alb_dif,
+        grid_cells=(nz, ny, nx), grid_d=grid_d, kn_grid=kn_grid,
+        photons_per_pixel=args.raytracing,
+        independent_column=independent_column,
+        twostream=args.two_stream, raytracing=True,
+        delta_cloud=args.delta_cloud, delta_aerosol=args.delta_aerosol,
+        gpt_chunk=args.gpt_chunk, key=jax.random.PRNGKey(args.seed),
+        **clouds, **aerosols)
+    jax.block_until_ready(out.rt_flux_tod_up)
+    status.print_message(
+        f"Duration solver: {(time.perf_counter()-t0)*1e3:.2f} (ms)")
+
+    status.print_message("Writing output.")
+    with NcWriter(args.output) as w:
+        w.def_dim("x", nx)
+        w.def_dim("y", ny)
+        w.def_dim("z", nz)
+        w.def_dim("lev", nlev)
+        for name in ("rt_flux_tod_dn", "rt_flux_tod_up", "rt_flux_sfc_dir",
+                     "rt_flux_sfc_dif", "rt_flux_sfc_up"):
+            w.write(name, np.asarray(getattr(out, name)), ("y", "x"))
+        w.write("rt_flux_abs_dir", np.asarray(out.rt_flux_abs_dir),
+                ("z", "y", "x"))
+        w.write("rt_flux_abs_dif", np.asarray(out.rt_flux_abs_dif),
+                ("z", "y", "x"))
+        if args.two_stream:
+            for name in ("sw_flux_up", "sw_flux_dn", "sw_flux_dn_dir"):
+                arr = np.asarray(getattr(out, name))  # (ncol, nlev)
+                w.write(name, arr.T.reshape(nlev, ny, nx), ("lev", "y", "x"))
+    status.print_message("Finished.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

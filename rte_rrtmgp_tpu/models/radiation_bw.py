@@ -1,0 +1,316 @@
+"""Backward (camera) rendering driver — images and broadband radiances.
+
+TPU-native equivalent of ``Radiation_solver_bw`` + ``Raytracer_bw``
+(``src_test/Radiation_solver_bw.cu:960-1120``, ``src_cuda_rt/Raytracer_bw.cu``):
+
+* gas optics run once for all g-points (chunked), the spectral render loop
+  is a single compiled ``lax.scan`` over (g-point x sub-interval) with
+  per-step scalars (Planck weight, XYZ color factors, mean Rayleigh cross
+  section) precomputed on the host,
+* each RRTMGP band is split into ``n_sub`` spectral sub-intervals weighted
+  by a 5778 K Planck integral; sub-intervals override the gas scattering
+  with the Bodhaine-1999 mean Rayleigh cross-section (image mode),
+* spectral radiances accumulate into CIE XYZ tristimulus images
+  (``add_xyz_camera`` / ``normalize_xyz_camera``) using the single-lobe
+  Gaussian fits of Wyman et al. (jcgt 2013) for the color matching
+  functions,
+* the 1D background column above the dynamic domain is the column-mean of
+  the remaining layers' optics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import gas_optics as gas_ops, optics_ops, cloud_optics as cloud_ops
+from ..ops import aerosol_optics as aero_ops
+from .kdist import KDist
+from . import raytracer_bw as rbw
+
+# ---------------------------------------------------------------------------
+# Host-side spectral helpers (Radiation_solver_bw.cu:636-723).
+# ---------------------------------------------------------------------------
+
+_H, _C, _KB = 6.62607015e-34, 299792458.0, 1.380649e-23
+
+
+def _planck_5778(wv_m):
+    return (2.0 * _H * _C * _C / wv_m ** 5
+            / (np.exp(_H * _C / (wv_m * _KB * 5778.0)) - 1.0))
+
+
+def planck_integral(wv1_nm, wv2_nm, n=100):
+    wv = (wv1_nm + (np.arange(n) + 0.0) * (wv2_nm - wv1_nm) / n) * 1e-9
+    return _planck_5778(wv).sum() * (wv2_nm - wv1_nm) / n * 1e-9
+
+
+def get_x(wv):
+    a = (wv - 442.0) * np.where(wv < 442.0, 0.0624, 0.0374)
+    b = (wv - 599.8) * np.where(wv < 599.8, 0.0264, 0.0323)
+    c = (wv - 501.1) * np.where(wv < 501.1, 0.0490, 0.0382)
+    return (0.362 * np.exp(-0.5 * a * a) + 1.056 * np.exp(-0.5 * b * b)
+            - 0.065 * np.exp(-0.5 * c * c))
+
+
+def get_y(wv):
+    a = (wv - 568.8) * np.where(wv < 568.8, 0.0213, 0.0247)
+    b = (wv - 530.9) * np.where(wv < 530.9, 0.0613, 0.0322)
+    return 0.821 * np.exp(-0.5 * a * a) + 0.286 * np.exp(-0.5 * b * b)
+
+
+def get_z(wv):
+    a = (wv - 437.0) * np.where(wv < 437.0, 0.0845, 0.0278)
+    b = (wv - 459.0) * np.where(wv < 459.0, 0.0385, 0.0725)
+    return 1.217 * np.exp(-0.5 * a * a) + 0.681 * np.exp(-0.5 * b * b)
+
+
+def xyz_irradiance(wv1, wv2, fn):
+    wv = np.arange(wv1, wv2, 0.1) + 0.05
+    return (fn(wv) * _planck_5778(wv * 1e-9)).sum() * 0.1 * 1e-9
+
+
+def rayleigh_mean(wv1, wv2):
+    """Bodhaine 1999 mean Rayleigh cross section over [wv1, wv2] nm."""
+    Ns = 2.546899e19
+    wv = wv1 + (np.arange(100) + 0.0) * (wv2 - wv1) / 100.0
+    n = 1 + 1e-8 * (8060.77 + 2481070.0 / (132.274 - (wv / 1e3) ** -2)
+                    + 17456.3 / (39.32957 - (wv / 1e3) ** -2))
+    nom = 24.0 * np.pi ** 3 * (n * n - 1.0) ** 2
+    denom = (wv / 1e7) ** 4 * Ns * Ns * (n * n + 2.0) ** 2
+    return (nom / denom * 1.055).mean()
+
+
+def spectral_weights(kd: KDist, n_sub: int):
+    """Per (gpt, sub): toa_factor, xyz factors (3,), mean rayleigh xs.
+
+    toa_factor = planck(sub)/planck(band) / solar_source(band)
+    (Radiation_solver_bw.cu:1006-1016)."""
+    solar = np.asarray(kd.solar_source, np.float64)
+    band_solar = np.array([solar[g0:g1].sum() for g0, g1 in kd.band_lims_gpt])
+    steps = []
+    for igpt in range(kd.ngpt):
+        band = kd.gpt2band[igpt]
+        wn1, wn2 = kd.band_lims_wvn[band]
+        wv1, wv2 = 1e7 / wn2, 1e7 / wn1      # nm
+        total_p = planck_integral(wv1, wv2)
+        dwv = (wv2 - wv1) / n_sub
+        for isub in range(n_sub):
+            a, b = wv1 + isub * dwv, wv1 + (isub + 1) * dwv
+            toa_factor = planck_integral(a, b) / total_p / max(band_solar[band], 1e-30)
+            xyz = np.array([xyz_irradiance(a, b, get_x),
+                            xyz_irradiance(a, b, get_y),
+                            xyz_irradiance(a, b, get_z)])
+            rayl = rayleigh_mean(a, b) if n_sub > 1 else 0.0
+            steps.append((igpt, band, toa_factor, xyz, rayl))
+    return steps
+
+
+# ---------------------------------------------------------------------------
+
+class RadiationSolverBW:
+    """Backward Monte-Carlo camera renderer."""
+
+    def __init__(self, kdist: KDist, cloud_lut=None, aerosol_lut=None):
+        self.kdist = kdist
+        self.cloud_lut = cloud_lut
+        self.aerosol_lut = aerosol_lut
+
+    def solve(self, gas_concs, p_lay, p_lev, t_lay, mu0, azi,
+              sfc_alb, land_use_map, camera: rbw.Camera,
+              grid_cells, grid_d, kn_grid, z_lev,
+              col_dry=None, lwp=None, iwp=None, rel=None, dei=None,
+              rh=None, aermr=None, photons_per_pixel: int = 16,
+              mode: str = "image", n_sub: int = 3,
+              delta_cloud: bool = False, delta_aerosol: bool = False,
+              gpt_chunk: Optional[int] = None, key=None,
+              dtype=np.float32) -> dict:
+        """Render a camera view.  mode="image" -> XYZ (3, ny, nx);
+        mode="broadband" -> radiance (ny, nx).
+
+        z_lev: (nlev,) heights of ALL model levels (the background column
+        spans z_lev[nz:]); surface at layer 0.
+        """
+        kd = self.kdist
+        p = np.asarray(p_lay)
+        assert p[0, 0] > p[0, -1], "BW solver expects surface at layer 0"
+        ncol, nlay = p.shape
+        nz, ny, nx = grid_cells
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if mode == "broadband":
+            n_sub = 1
+
+        vmr = gas_concs.materialize(kd.gas_names, ncol, nlay, dtype=dtype)
+        if col_dry is None:
+            h2o = gas_concs.expand("h2o", ncol, nlay)
+            col_dry = np.asarray(gas_ops.get_col_dry(
+                jnp.asarray(h2o, dtype), jnp.asarray(p_lev, dtype)))
+
+        # --- gas optics for all g-points (canonical flip) ---
+        flip = lambda a: jnp.flip(jnp.asarray(a, dtype), axis=1)
+        col_gas_f = gas_ops.build_col_gas(flip(vmr), flip(col_dry))
+
+        @jax.jit
+        def optics_all(kd, play_f, tlay_f, col_gas_f, col_dry_f):
+            interp = gas_ops.interpolation(kd, play_f, tlay_f, col_gas_f)
+            taus, ssas = [], []
+            step = gpt_chunk or kd.ngpt
+            for g0 in range(0, kd.ngpt, step):
+                kdc = kd.slice_gpt(g0, min(g0 + step, kd.ngpt))
+                t = gas_ops.tau_major(kdc, interp)
+                t = gas_ops.tau_minor(kdc, interp, play_f, tlay_f, col_gas_f, t)
+                r = gas_ops.tau_rayleigh(kdc, interp, col_gas_f, col_dry_f)
+                tt, ss, _ = gas_ops.combine_abs_and_rayleigh(t, r)
+                taus.append(jnp.flip(tt, axis=1))
+                ssas.append(jnp.flip(ss, axis=1))
+            return jnp.concatenate(taus, -1), jnp.concatenate(ssas, -1)
+
+        gas_tau, gas_ssa = optics_all(kd, flip(p_lay), flip(t_lay), col_gas_f,
+                                      flip(col_dry))
+
+        cld = aer = None
+        cast = lambda a: jnp.asarray(a, dtype)
+        if lwp is not None:
+            cld = cloud_ops.cloud_optics_2str(self.cloud_lut, cast(lwp),
+                                              cast(iwp), cast(rel), cast(dei))
+            if delta_cloud:
+                cld = optics_ops.delta_scale(cld)
+        if aermr is not None:
+            aer = aero_ops.aerosol_optics_2str(self.aerosol_lut, cast(aermr),
+                                               cast(rh), cast(p_lev))
+            if delta_aerosol:
+                aer = optics_ops.delta_scale(aer)
+
+        # --- spectral step table (host) ---
+        steps = spectral_weights(kd, n_sub)
+        igpt_arr = np.array([s[0] for s in steps], np.int32)
+        band_arr = np.array([s[1] for s in steps], np.int32)
+        toaf_arr = np.array([s[2] for s in steps], dtype)
+        xyz_arr = np.array([s[3] for s in steps], dtype)
+        rayl_arr = np.array([s[4] for s in steps], dtype)
+        solar = np.asarray(kd.solar_source, dtype)
+
+        # per-cell air column for the Bodhaine Rayleigh override
+        idx_h2o = kd.idx_h2o
+        air_col = col_dry * (1.0 + np.asarray(vmr[:, :, idx_h2o - 1]))
+
+        out = _render_impl(
+            kd, key, gas_tau, gas_ssa,
+            None if cld is None else (cld.tau, cld.ssa, cld.g),
+            None if aer is None else (aer.tau, aer.ssa, aer.g),
+            cast(sfc_alb), cast(land_use_map), cast(mu0), cast(azi),
+            cast(air_col), jnp.asarray(z_lev, dtype), jnp.asarray(grid_d, dtype),
+            jnp.asarray(igpt_arr), jnp.asarray(band_arr), jnp.asarray(toaf_arr),
+            jnp.asarray(xyz_arr), jnp.asarray(rayl_arr), jnp.asarray(solar),
+            camera=camera, grid_cells=tuple(grid_cells),
+            kn_grid=tuple(kn_grid), photons_per_pixel=photons_per_pixel,
+            mode=mode)
+        return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "camera", "grid_cells", "kn_grid", "photons_per_pixel", "mode"))
+def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
+                 mu0, azi, air_col, z_lev, grid_d,
+                 igpt_arr, band_arr, toaf_arr, xyz_arr, rayl_arr, solar,
+                 *, camera, grid_cells, kn_grid, photons_per_pixel, mode):
+    dtype = gas_tau.dtype
+    nz, ny, nx = grid_cells
+    ncol, nlay, ngpt = gas_tau.shape
+    nbnd = kd.nbnd
+    dz = grid_d[0]
+    kbg = nlay - nz
+    assert kbg >= 1, "backward tracer needs at least one background layer"
+
+    zeros_b = jnp.zeros((ncol, nlay, nbnd), dtype)
+    cld_tau, cld_ssa, cld_g = cld if cld is not None else (zeros_b,) * 3
+    aer_tau, aer_ssa, aer_g = aer if aer is not None else (zeros_b,) * 3
+
+    mu = jnp.maximum(mu0[0], 1e-3)
+    zen = jnp.arccos(jnp.clip(mu, -1.0, 1.0))
+    sun_dir = jnp.stack([  # toward the sun (z > 0)
+        jnp.sin(zen) * jnp.cos(0.5 * jnp.pi - azi[0]),
+        jnp.sin(zen) * jnp.sin(0.5 * jnp.pi - azi[0]),
+        jnp.cos(zen)])
+
+    z_lev_bg = z_lev[nz:]          # (kbg+1,)
+    dz_bg = jnp.abs(z_lev_bg[1:] - z_lev_bg[:-1])
+
+    def to3d(a):
+        return a.T.reshape(nz, ny, nx)
+
+    def body(acc, xs):
+        igpt, band, toaf, xyz, rayl_xs = xs
+        tau_g = jax.lax.dynamic_index_in_dim(gas_tau, igpt, 2, keepdims=False)
+        ssa_g = jax.lax.dynamic_index_in_dim(gas_ssa, igpt, 2, keepdims=False)
+
+        def pick(arr):
+            return jnp.take_along_axis(
+                arr, jnp.broadcast_to(band, (ncol, nlay, 1)).astype(jnp.int32),
+                axis=2, mode="clip")[:, :, 0]
+
+        tc, sc, gc = pick(cld_tau), pick(cld_ssa), pick(cld_g)
+        ta, sa, ga = pick(aer_tau), pick(aer_ssa), pick(aer_g)
+
+        # gas absorption fixed; scattering optionally replaced by the mean
+        # Bodhaine cross section of the sub-interval.
+        tau_abs_g = tau_g * (1.0 - ssa_g)
+        tau_sca_g = jnp.where(rayl_xs > 0.0, rayl_xs * air_col, tau_g * ssa_g)
+
+        k_abs_g = tau_abs_g / dz
+        k_sca_g = tau_sca_g / dz
+        k_sca_c = tc * sc / dz
+        k_sca_a = ta * sa / dz
+        k_abs_c = tc * (1.0 - sc) / dz
+        k_abs_a = ta * (1.0 - sa) / dz
+        k_ext = k_abs_g + k_sca_g + k_sca_c + k_sca_a + k_abs_c + k_abs_a
+
+        # 3D fields for the dynamic domain
+        k3 = tuple(to3d(a[:, :nz]) for a in
+                   (k_ext, k_sca_g, k_sca_c, k_sca_a, gc, ga))
+        # 1D background column (column mean of upper layers)
+        kbg_prof = k_ext[:, nz:].mean(axis=0)
+        ksca_bg = (k_sca_g + k_sca_c + k_sca_a)[:, nz:].mean(axis=0)
+        ssa_bg = ksca_bg / jnp.maximum(kbg_prof, 1e-30)
+        f_g = k_sca_g[:, nz:].mean(axis=0) / jnp.maximum(ksca_bg, 1e-30)
+        f_c = k_sca_c[:, nz:].mean(axis=0) / jnp.maximum(ksca_bg, 1e-30)
+        f_a = k_sca_a[:, nz:].mean(axis=0) / jnp.maximum(ksca_bg, 1e-30)
+        asy_split_bg = jnp.stack([f_g, f_c, f_a], axis=1)
+
+        alb_band = jnp.take_along_axis(
+            sfc_alb, jnp.broadcast_to(band, (ncol, 1)).astype(jnp.int32),
+            axis=1, mode="clip")[:, 0].reshape(ny, nx)
+
+        key_g = jax.random.fold_in(key, igpt * 16 + 0)
+        count, shot = rbw.trace_rays_bw(
+            key_g, camera, *k3,
+            kbg_prof, ssa_bg, asy_split_bg, z_lev_bg,
+            alb_band, land_use.reshape(ny, nx), kn_grid,
+            grid_d, sun_dir, mu,
+            photons_per_pixel=photons_per_pixel)
+
+        toa_src = solar[igpt]
+        flux_cam = rbw.count_to_radiance(count, toa_src, toaf,
+                                         photons_per_pixel)
+        xyz_img, radiance, total_src = acc
+        xyz_img = xyz_img + xyz[:, None, None] * flux_cam[None, :, :]
+        radiance = radiance + flux_cam
+        total_src = total_src + toa_src * toaf
+        return (xyz_img, radiance, total_src), None
+
+    acc0 = (jnp.zeros((3, camera.ny, camera.nx), dtype),
+            jnp.zeros((camera.ny, camera.nx), dtype),
+            jnp.zeros((), dtype))
+    xs = (igpt_arr, band_arr, toaf_arr, xyz_arr, rayl_arr)
+    (xyz_img, radiance, total_src), _ = jax.lax.scan(body, acc0, xs)
+
+    if mode == "image":
+        # normalize_xyz_camera (Raytracer_bw.cu:339-357)
+        return {"XYZ": xyz_img / jnp.maximum(total_src, 1e-30),
+                "radiance": radiance}
+    return {"radiance": radiance}

@@ -46,15 +46,35 @@ class RaytracerOutput(NamedTuple):
     flux_abs_dif: object
 
 
+def _coarse_reduce_axis(a, axis: int, k: int, op):
+    """Reduce a fine axis of length n onto k coarse cells, where each fine
+    cell contributes to every coarse cell it geometrically overlaps (the
+    reference's overlapping-range loop, Raytracer.cu:55-73).  op is
+    jax.ops.segment_max or segment_min."""
+    n = a.shape[axis]
+    assert k <= n, (k, n)
+    i = np.arange(n)
+    ids_left = (i * k) // n
+    ids_right = np.minimum(k - 1, ((i + 1) * k - 1) // n)
+    a2 = jnp.moveaxis(a, axis, 0)
+    lo = op(a2, jnp.asarray(ids_left), num_segments=k)
+    hi = op(a2, jnp.asarray(ids_right), num_segments=k)
+    out = jnp.maximum(lo, hi) if op is jax.ops.segment_max else jnp.minimum(lo, hi)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def coarse_grid_reduce(k_ext, kn_shape, op):
+    out = k_ext
+    for axis, k in enumerate(kn_shape):
+        out = _coarse_reduce_axis(out, axis, k, op)
+    return out
+
+
 def create_knull_grid(k_ext, kn_shape, k_ext_null_min=1e-3):
     """Max-k acceleration grid (Raytracer.cu:40-75).  k_ext: (nz, ny, nx);
-    kn_shape: (knz, kny, knx) coarse grid dims (must divide the fine grid)."""
-    nz, ny, nx = k_ext.shape
-    knz, kny, knx = kn_shape
-    assert nz % knz == 0 and ny % kny == 0 and nx % knx == 0, (
-        "kn_grid must divide grid_cells")
-    r = k_ext.reshape(knz, nz // knz, kny, ny // kny, knx, nx // knx)
-    return jnp.maximum(r.max(axis=(1, 3, 5)), k_ext_null_min)
+    kn_shape: (knz, kny, knx) coarse dims (any sizes <= the fine grid)."""
+    return jnp.maximum(coarse_grid_reduce(k_ext, kn_shape, jax.ops.segment_max),
+                       k_ext_null_min)
 
 
 def _rayleigh_sample(u):

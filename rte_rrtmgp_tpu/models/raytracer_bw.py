@@ -1,0 +1,587 @@
+"""Backward (camera) Monte-Carlo ray tracer — radiance rendering.
+
+TPU-native re-design of ``src_kernels_cuda_rt/raytracer_kernels_bw.cu`` +
+``src_cuda_rt/Raytracer_bw.cu``:
+
+* per camera-sample lanes (npix x photons-per-pixel), SIMD-stepped through
+  a ``lax.while_loop`` exactly like the forward tracer,
+* backward delta-tracking through the 3D domain plus a 1D background
+  column between domain top and TOA (``bg_idx`` layer walking),
+* **next-event estimation toward the sun** at every scattering and surface
+  event: phase-function value x sun solid angle x direct-sun transmission;
+  the transmission uses the Villefranque et al. 2019 decomposition
+  (k_min integrated deterministically, k_max-k_min as null-collision russian
+  roulette) in a masked inner while_loop,
+* phase kinds: Lambertian / Specular (water surfaces, direct beam) /
+  Rayleigh / Henyey-Greenstein (Mie LUT reserved for the Mie tables),
+* camera models: fisheye (0), rectangular a la Villefranque (1),
+  top-of-atmosphere nadir radiances (2).
+
+Radiance calibration matches the reference: count += w * phase(sun) *
+sun_solid_angle * T_sun; pixel radiance = count * toa_src * toa_factor /
+photons_per_pixel (``count_to_flux_2d``, Raytracer_bw.cu:275-289).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from .raytracer import (_henyey_sample, _rayleigh_sample, _scatter_direction,
+                        W_THRES)
+
+# Sun disc: half angle 0.266 deg (raytracer_kernels_bw.h:27-30).
+COS_HALF_ANGLE = 0.9999891776066407
+SUN_SOLID_ANGLE = 6.799910294339209e-05
+
+
+def rayleigh_phase(cos_a):
+    return 3.0 / (16.0 * np.pi) * (1.0 + cos_a * cos_a)
+
+
+def henyey_phase(g, cos_a):
+    eps = 1.1920929e-07
+    denom = jnp.maximum(eps, 1.0 + g * g - 2.0 * g * cos_a)
+    return 1.0 / (4.0 * np.pi) * (1.0 - g * g) / (denom * jnp.sqrt(denom))
+
+
+def lambertian_phase():
+    return 1.0 / np.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Camera description (reference Camera struct,
+    raytracer_kernels_bw.h:40-91).  Frozen/hashable so it can be a static
+    jit argument.  ``position`` is an (x, y, z) tuple in meters."""
+
+    position: tuple = (0.0, 0.0, 0.0)
+    cam_type: int = 1              # 0 fisheye, 1 rectangular, 2 TOA nadir
+    yaw_deg: float = 0.0
+    pitch_deg: float = 0.0
+    roll_deg: float = 0.0
+    f_zoom: float = 1.0
+    fov: float = 80.0
+    nx: int = 128
+    ny: int = 128
+
+    @property
+    def npix(self) -> int:
+        return self.nx * self.ny
+
+    def rotation(self):
+        y, p, r = (np.deg2rad(self.yaw_deg), np.deg2rad(self.pitch_deg),
+                   np.deg2rad(self.roll_deg))
+        mx = np.array([np.cos(y) * np.cos(p),
+                       np.cos(y) * np.sin(p) * np.sin(r) - np.sin(y) * np.cos(r),
+                       np.cos(y) * np.sin(p) * np.cos(r) + np.sin(y) * np.sin(r)])
+        my = np.array([np.sin(y) * np.cos(p),
+                       np.sin(y) * np.sin(p) * np.sin(r) + np.cos(y) * np.cos(r),
+                       np.sin(y) * np.sin(p) * np.cos(r) - np.cos(y) * np.sin(r)])
+        mz = np.array([-np.sin(p), np.cos(p) * np.sin(r), np.cos(p) * np.cos(r)])
+        return mx, my, mz
+
+    def rect_basis(self):
+        """cam_width/height/depth for the rectangular camera
+        (setup_normal_camera, raytracer_kernels_bw.h:68-86)."""
+        mx, my, mz = self.rotation()
+        dir_tmp = np.array([1.0, 0.0, 0.0])
+        dir_up = np.array([0.0, 0.0, 1.0])
+        dir_cam = np.array([mx @ dir_tmp, my @ dir_tmp, mz @ dir_tmp])
+        dir_cam /= np.linalg.norm(dir_cam)
+        cam_height = np.array([mx @ dir_up, my @ dir_up, mz @ dir_up])
+        cam_height /= np.linalg.norm(cam_height)
+        cam_width = -np.cross(dir_cam, dir_up)
+        cam_width /= np.linalg.norm(cam_width)
+        cam_depth = dir_cam / np.tan(np.deg2rad(self.fov) / 2.0)
+        if self.nx > self.ny:
+            cam_height = cam_height * self.ny / self.nx
+        elif self.ny > self.nx:
+            cam_width = cam_width * self.nx / self.ny
+        return cam_width, cam_height, cam_depth
+
+
+def _camera_rays(camera: Camera, key, n_photons, size, z_top, dtype):
+    """Initial positions/directions for npix*ppp camera samples."""
+    npix = camera.npix
+    lane = jnp.arange(n_photons, dtype=jnp.int32)
+    pix = lane % npix
+    k1, k2 = jax.random.split(key)
+    ui = (pix % camera.nx).astype(dtype) + jax.random.uniform(k1, (n_photons,), dtype)
+    uj = (pix // camera.nx).astype(dtype) + jax.random.uniform(k2, (n_photons,), dtype)
+    i = ui / camera.nx
+    j = uj / camera.ny
+    size_x, size_y, size_z = size
+
+    if camera.cam_type == 0:
+        mx, my, mz = camera.rotation()
+        zen = i * 0.5 * np.deg2rad(camera.fov)
+        azi = j * 2.0 * np.pi
+        dt = jnp.stack([jnp.cos(zen), jnp.sin(zen) * jnp.cos(azi),
+                        jnp.sin(zen) * jnp.sin(azi)], axis=1)
+        M = jnp.asarray(np.stack([mx, my, mz]), dtype)     # (3, 3)
+        direction = dt @ M.T
+        pos = jnp.broadcast_to(jnp.asarray(camera.position, dtype)[None, :],
+                               (n_photons, 3))
+    elif camera.cam_type == 1:
+        w, h, d = camera.rect_basis()
+        direction = ((2.0 * i - 1.0)[:, None] * jnp.asarray(w, dtype)[None, :]
+                     + (2.0 * j - 1.0)[:, None] * jnp.asarray(h, dtype)[None, :]
+                     + jnp.asarray(d, dtype)[None, :])
+        direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
+        pos = jnp.broadcast_to(jnp.asarray(camera.position, dtype)[None, :],
+                               (n_photons, 3))
+    else:  # TOA nadir
+        direction = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, -1.0], dtype)[None, :], (n_photons, 3))
+        px = ((pix % camera.nx).astype(dtype) + 0.5) * (size_x / camera.nx)
+        py = ((pix // camera.nx).astype(dtype) + 0.5) * (size_y / camera.ny)
+        pos = jnp.stack([px, py, jnp.full((n_photons,), z_top, dtype)], axis=1)
+
+    # Bring rays starting above TOA down to z_top along their direction.
+    above = (pos[:, 2] > z_top) & (direction[:, 2] < 0)
+    ds = (pos[:, 2] - z_top) / jnp.where(direction[:, 2] == 0, -1.0,
+                                         direction[:, 2])
+    pos_adj = pos + direction * ds[:, None]
+    pos = jnp.where(above[:, None],
+                    pos_adj.at[:, 2].set(z_top), pos)
+    pos = pos.at[:, 0].set(jnp.mod(pos[:, 0], size_x))
+    pos = pos.at[:, 1].set(jnp.mod(pos[:, 1], size_y))
+    return pix, pos, direction
+
+
+class _BwState(NamedTuple):
+    pos: object
+    direction: object
+    weight: object
+    is_direct: object
+    alive: object
+    tau: object
+    d_max: object
+    k_null: object
+    transition: object
+    bg_idx: object      # (N,) int32 background-layer index
+
+
+def trace_rays_bw(key, camera: Camera,
+                  k_ext, k_sca_gas, k_sca_cld, k_sca_aer, asy_cld, asy_aer,
+                  k_ext_bg, ssa_bg, asy_split_bg, z_lev_bg,
+                  surface_albedo, land_use_map, kn_grid_shape,
+                  grid_d, sun_direction, mu0,
+                  photons_per_pixel: int,
+                  max_steps: int = 20_000,
+                  sun_sub_steps: int = 400,
+                  k_ext_null_min: float = 1e-3):
+    """Render one spectral interval.  Returns per-pixel count and shot
+    arrays (ny, nx); radiance = count * toa_src * toa_factor / ppp.
+
+    ``sun_direction`` points TOWARD the sun (z > 0) — opposite to the
+    forward tracer's photon-travel convention (the reference does the same:
+    compare Raytracer_bw.cu's sun vector with Raytracer.cu:341-343).
+
+    Background column: ``k_ext_bg`` (kbg,), ``ssa_bg`` (kbg,),
+    ``asy_split_bg`` (kbg, 3) scattering fractions [gas, cld, aer] are the
+    1D profile above the domain; ``z_lev_bg`` (kbg+1,) with z_lev_bg[0] ==
+    domain top height and z_lev_bg[-1] == TOA.
+    """
+    dtype = k_ext.dtype
+    eps = config.eps(dtype)
+    nz, ny, nx = k_ext.shape
+    npix = camera.npix
+    n_photons = npix * photons_per_pixel
+    dz, dy, dx = grid_d[0], grid_d[1], grid_d[2]
+    size_z, size_y, size_x = nz * dz, ny * dy, nx * dx
+    kbg = k_ext_bg.shape[0]
+    z_top = z_lev_bg[-1]
+    s_min = jnp.maximum(size_z, jnp.maximum(size_y, size_x)) * eps
+    s_min_bg = jnp.maximum(z_top, jnp.maximum(size_y, size_x)) * eps
+
+    knz, kny, knx = kn_grid_shape
+    # Decomposition grid: both max and min of k_ext per coarse cell.
+    from .raytracer import coarse_grid_reduce
+    kn_max = jnp.maximum(
+        coarse_grid_reduce(k_ext, kn_grid_shape, jax.ops.segment_max),
+        k_ext_null_min).reshape(-1)
+    kn_min = coarse_grid_reduce(k_ext, kn_grid_shape,
+                                jax.ops.segment_min).reshape(-1)
+    kn_d = (size_z / knz, size_y / kny, size_x / knx)
+
+    sun_direction = jnp.asarray(sun_direction, dtype)
+    # Cumulative background optical depth along the sun path
+    # (ray_tracer_kernel_bw preamble): bg_tau_cum[k] = sum_{k'>=k} tau/mu.
+    dz_bg = jnp.abs(z_lev_bg[1:] - z_lev_bg[:-1])
+    bg_tau = k_ext_bg * dz_bg / mu0
+    bg_tau_cum = jnp.cumsum(bg_tau[::-1])[::-1]   # (kbg,)
+
+    kflat = k_ext.reshape(-1)
+    ksg = k_sca_gas.reshape(-1)
+    ksc = k_sca_cld.reshape(-1)
+    ksa = k_sca_aer.reshape(-1)
+    ac = asy_cld.reshape(-1)
+    aa = asy_aer.reshape(-1)
+    alb = surface_albedo.reshape(-1)
+    lum = land_use_map.reshape(-1)
+
+    def cell_index(p, d, nmax):
+        return jnp.clip((p / d).astype(jnp.int32), 0, nmax - 1)
+
+    def grid_ijk(pos):
+        ci = cell_index(pos[:, 0], dx, nx)
+        cj = cell_index(pos[:, 1], dy, ny)
+        ck = cell_index(pos[:, 2], dz, nz)
+        return (ck * ny + cj) * nx + ci
+
+    # ------------------------------------------------------------------
+    def sun_transmission(pos0, bg_idx0, active, key):
+        """Vectorized transmission_direct_sun (kernels_bw.cu:42-170)."""
+
+        def s_cond(c):
+            live, *_ , step = c
+            return jnp.logical_and(jnp.any(live), step < sun_sub_steps)
+
+        def s_body(c):
+            live, pos, tau, tau_min, d_max, kmx, kmn, trans_flag, result, key, step = c
+            key, ku = jax.random.split(key)
+            u = jax.random.uniform(ku, (2, n_photons), dtype)
+
+            in_bg = pos[:, 2] > size_z
+            # Lanes reaching the background exit with accumulated tau + bg.
+            bgi = jnp.clip(((pos[:, 2] - z_lev_bg[0])
+                            / jnp.maximum(z_lev_bg[1] - z_lev_bg[0], 1.0)
+                            ).astype(jnp.int32), 0, kbg - 1)
+            # use precomputed cumulative from layer 0 (domain top): photons
+            # always exit the dynamic domain at its top -> bg_tau_cum[0].
+            exit_T = jnp.exp(-(tau_min + bg_tau_cum[0]))
+            result = jnp.where(live & in_bg, exit_T, result)
+            live = live & ~in_bg
+
+            need = d_max == 0.0
+            i_n = cell_index(pos[:, 0], kn_d[2], knx)
+            j_n = cell_index(pos[:, 1], kn_d[1], kny)
+            k_n = cell_index(pos[:, 2], kn_d[0], knz)
+
+            def dist(p, dcell, idx, vdir):
+                hi = (idx + 1).astype(dtype) * dcell
+                lo = idx.astype(dtype) * dcell
+                return jnp.abs(jnp.where(vdir > 0, hi - p, lo - p)
+                               / jnp.where(vdir == 0, eps, vdir))
+
+            sx = dist(pos[:, 0], kn_d[2], i_n, sun_direction[0])
+            sy = dist(pos[:, 1], kn_d[1], j_n, sun_direction[1])
+            sz = (k_n + 1).astype(dtype) * kn_d[0] - pos[:, 2]
+            sz = sz / jnp.maximum(sun_direction[2], eps)
+            dmax_new = jnp.minimum(sx, jnp.minimum(sy, sz))
+            ijk_n = (k_n * kny + j_n) * knx + i_n
+            kmx_new = kn_max[ijk_n] - kn_min[ijk_n]
+            kmn_new = kn_min[ijk_n]
+            d_max = jnp.where(need, dmax_new, d_max)
+            kmx = jnp.where(need, jnp.maximum(kmx_new, eps), kmx)
+            kmn = jnp.where(need, kmn_new, kmn)
+
+            tau_s = -jnp.log(1.0 - u[0] + eps)
+            tau = jnp.where(trans_flag, tau, tau_s)
+            dn = jnp.maximum(eps, tau / kmx)
+
+            crossing = dn >= d_max
+            # crossing: integrate k_min over d_max, move, wrap.
+            tmin_c = tau_min + kmn * d_max
+            pos_c = pos + sun_direction[None, :] * d_max[:, None]
+            exit_top = pos_c[:, 2] >= size_z - s_min
+            pos_c = jnp.where((crossing & exit_top)[:, None],
+                              pos_c.at[:, 2].set(size_z + s_min_bg), pos_c)
+            nudge = jnp.where(sun_direction > 0, s_min, -s_min)[None, :]
+            pos_cc = pos_c + nudge
+            pos_cc = pos_cc.at[:, 0].set(jnp.mod(pos_cc[:, 0], size_x))
+            pos_cc = pos_cc.at[:, 1].set(jnp.mod(pos_cc[:, 1], size_y))
+            pos_c = jnp.where((crossing & ~exit_top)[:, None], pos_cc, pos_c)
+            tau_c = tau - d_max * kmx
+            # collision: move dn, compare against local k
+            tmin_h = tau_min + kmn * dn
+            pos_h = pos + sun_direction[None, :] * dn[:, None]
+            ijk = grid_ijk(pos_h)
+            k_tot = kflat[ijk] - kmn
+            absorbed = u[1] < (k_tot / kmx)
+
+            live_c = live & crossing
+            live_h = live & ~crossing
+            result = jnp.where(live_h & absorbed, 0.0, result)
+
+            new_live = (live_c) | (live_h & ~absorbed)
+            new_pos = jnp.where(crossing[:, None], pos_c, pos_h)
+            new_tau = jnp.where(crossing, tau_c, tau)
+            new_tmin = jnp.where(crossing, tmin_c, tmin_h)
+            new_dmax = jnp.where(crossing, 0.0, d_max - dn)
+            new_trans = crossing
+            return (new_live, new_pos, new_tau, new_tmin, new_dmax, kmx, kmn,
+                    new_trans, result, key, step + 1)
+
+        zeros = jnp.zeros(n_photons, dtype)
+        init = (active, pos0, zeros, zeros, zeros, jnp.ones(n_photons, dtype),
+                zeros, jnp.zeros(n_photons, dtype=bool), zeros, key,
+                jnp.zeros((), jnp.int32))
+        out = jax.lax.while_loop(s_cond, s_body, init)
+        return out[8]
+
+    # ------------------------------------------------------------------
+    key, kc, kinit = jax.random.split(key, 3)
+    pix, pos, direction = _camera_rays(camera, kc, n_photons,
+                                       (size_x, size_y, size_z), z_top, dtype)
+    camera_shot = jnp.zeros(npix, dtype).at[pix].add(1.0)
+    camera_count = jnp.zeros(npix, dtype)
+
+    # initial bg layer index
+    zl = jnp.asarray(z_lev_bg, dtype)
+    bg_idx0 = jnp.clip(jnp.searchsorted(zl, pos[:, 2], side="right") - 1,
+                       0, kbg - 1).astype(jnp.int32)
+
+    # direct sun view at launch (reset_photon :257-268)
+    sees_sun = jnp.sum(direction * sun_direction[None, :], axis=1) > COS_HALF_ANGLE
+    t_direct = sun_transmission(pos, bg_idx0, sees_sun, kinit)
+    camera_count = camera_count.at[pix].add(jnp.where(sees_sun, t_direct, 0.0))
+
+    state = _BwState(
+        pos=pos, direction=direction,
+        weight=jnp.ones(n_photons, dtype),
+        is_direct=jnp.ones(n_photons, dtype=bool),
+        alive=jnp.ones(n_photons, dtype=bool),
+        tau=jnp.zeros(n_photons, dtype),
+        d_max=jnp.zeros(n_photons, dtype),
+        k_null=jnp.ones(n_photons, dtype),
+        transition=jnp.zeros(n_photons, dtype=bool),
+        bg_idx=bg_idx0,
+    )
+
+    def body(carry):
+        state, count, key, step = carry
+        key, ku, ksun = jax.random.split(key, 3)
+        u = jax.random.uniform(ku, (8, n_photons), dtype)
+        pos, direction, alive = state.pos, state.direction, state.alive
+        w = state.weight
+
+        tau_sampled = -jnp.log(1.0 - u[0] + eps)
+        tau = jnp.where(state.transition, state.tau, tau_sampled)
+
+        in_bg = pos[:, 2] > size_z
+
+        # ============ background 1D region ============
+        bgi = state.bg_idx
+        kbg_here = jnp.maximum(k_ext_bg[bgi], eps)
+        dn_bg = jnp.maximum(eps, tau / kbg_here)
+        up = direction[:, 2] > 0
+        dmax_bg = jnp.abs(jnp.where(up, zl[bgi + 1] - pos[:, 2],
+                                    zl[bgi] - pos[:, 2])
+                          / jnp.where(direction[:, 2] == 0, eps, direction[:, 2]))
+        bg_crossing = dn_bg >= dmax_bg
+
+        # crossing a bg layer boundary
+        pos_bgc = pos + direction * dmax_bg[:, None]
+        pos_bgc = pos_bgc.at[:, 2].set(
+            jnp.where(up, zl[bgi + 1] + s_min_bg, zl[bgi] - s_min_bg))
+        enter_domain = pos_bgc[:, 2] <= size_z + s_min_bg
+        leave_toa = pos_bgc[:, 2] >= z_top
+        tau_bgc = tau - kbg_here * (dmax_bg + s_min_bg)
+        pos_bgc2 = pos_bgc.at[:, 2].set(
+            jnp.where(enter_domain, size_z - s_min, pos_bgc[:, 2]))
+        pos_bgc2 = pos_bgc2.at[:, 0].set(jnp.mod(pos_bgc2[:, 0], size_x))
+        pos_bgc2 = pos_bgc2.at[:, 1].set(jnp.mod(pos_bgc2[:, 1], size_y))
+        bgi_next = jnp.where(enter_domain, bgi,
+                             jnp.where(up, bgi + 1, bgi - 1)).astype(jnp.int32)
+        bgi_next = jnp.clip(bgi_next, 0, kbg - 1)
+
+        # bg scattering event
+        pos_bgh = pos + direction * dn_bg[:, None]
+        ssa_here = ssa_bg[bgi]
+        w_bg = w * ssa_here
+        roulette_bg = w_bg < W_THRES
+        w_bg = jnp.where(roulette_bg, jnp.where(u[1] > w_bg, 0.0, 1.0), w_bg)
+        frac = asy_split_bg[bgi]          # (N, 3): gas, cld, aer fractions
+        sr = u[5]
+        bg_aer = sr < frac[:, 2]
+        bg_cld = (~bg_aer) & (sr < frac[:, 2] + frac[:, 1])
+        # background is a clear-sky profile: cld/aer use HG with g=0-ish
+        cos_bg = _rayleigh_sample(u[6])
+
+        # ============ dynamic 3D domain ============
+        need_grid = state.d_max == 0.0
+        i_n = cell_index(pos[:, 0], kn_d[2], knx)
+        j_n = cell_index(pos[:, 1], kn_d[1], kny)
+        k_n = cell_index(pos[:, 2], kn_d[0], knz)
+
+        def dist(p, dcell, idx, vdir):
+            hi = (idx + 1).astype(dtype) * dcell
+            lo = idx.astype(dtype) * dcell
+            return jnp.abs(jnp.where(vdir > 0, hi - p, lo - p)
+                           / jnp.where(vdir == 0, eps, vdir))
+
+        sx = dist(pos[:, 0], kn_d[2], i_n, direction[:, 0])
+        sy = dist(pos[:, 1], kn_d[1], j_n, direction[:, 1])
+        sz = dist(pos[:, 2], kn_d[0], k_n, direction[:, 2])
+        d_new = jnp.minimum(sx, jnp.minimum(sy, sz))
+        ijk_n = (k_n * kny + j_n) * knx + i_n
+        d_max = jnp.where(need_grid, d_new, state.d_max)
+        k_null = jnp.where(need_grid, kn_max[ijk_n], state.k_null)
+
+        dn = jnp.maximum(eps, tau / k_null)
+        crossing = dn >= d_max
+
+        # crossing events
+        pos_cross = pos + direction * d_max[:, None]
+        hit_sfc = pos_cross[:, 2] < eps
+        hit_tod = pos_cross[:, 2] >= size_z
+        pix_s = pix  # camera lane -> pixel binding is static
+
+        # surface: albedo + NEE + reflected direction
+        sfc_ij = (cell_index(pos_cross[:, 1], dy, ny) * nx
+                  + cell_index(pos_cross[:, 0], dx, nx))
+        w_sfc = w * alb[sfc_ij]
+        is_water = lum[sfc_ij] == 0
+        specular_sfc = is_water & state.is_direct
+        # NEE from the surface
+        spec_dir = direction - 2.0 * direction[:, 2:3] * jnp.asarray(
+            [0.0, 0.0, 1.0], dtype)[None, :]
+        spec_to_sun = jnp.sum(spec_dir * sun_direction[None, :], axis=1) > COS_HALF_ANGLE
+        p_sun_sfc = jnp.where(specular_sfc,
+                              spec_to_sun.astype(dtype),
+                              lambertian_phase() * SUN_SOLID_ANGLE)
+        roulette_s = w_sfc < W_THRES
+        w_sfc_rr = jnp.where(roulette_s, jnp.where(u[1] > w_sfc, 0.0, 1.0), w_sfc)
+        mu_r = jnp.sqrt(u[2])
+        az_r = 2.0 * jnp.pi * u[3]
+        lamb_dir = jnp.stack([mu_r * jnp.sin(az_r), mu_r * jnp.cos(az_r),
+                              jnp.sqrt(1.0 - mu_r ** 2 + eps)], axis=1)
+        sfc_new_dir = jnp.where(specular_sfc[:, None], spec_dir, lamb_dir)
+
+        # TOD exit into background
+        tau_tod = tau - d_max * k_null
+
+        # plain knull-cell pass
+        nudge = jnp.where(direction > 0, s_min, -s_min)
+        pos_pass = pos_cross + nudge
+        pos_pass = pos_pass.at[:, 0].set(jnp.mod(pos_pass[:, 0], size_x))
+        pos_pass = pos_pass.at[:, 1].set(jnp.mod(pos_pass[:, 1], size_y))
+        tau_pass = tau - d_max * k_null
+
+        # collision events
+        lo = jnp.stack([i_n.astype(dtype) * kn_d[2],
+                        j_n.astype(dtype) * kn_d[1],
+                        k_n.astype(dtype) * kn_d[0]], axis=1) + s_min
+        hi = jnp.stack([(i_n + 1).astype(dtype) * kn_d[2],
+                        (j_n + 1).astype(dtype) * kn_d[1],
+                        (k_n + 1).astype(dtype) * kn_d[0]], axis=1) - s_min
+        pos_col = jnp.clip(pos + direction * dn[:, None], lo, hi)
+        ijk = grid_ijk(pos_col)
+        k_here = kflat[ijk]
+        k_sca_tot = ksg[ijk] + ksc[ijk] + ksa[ijk]
+        ssa_tot = k_sca_tot / jnp.maximum(k_here, eps)
+        f_no_abs = 1.0 - (1.0 - ssa_tot) * (k_here / k_null)
+        w_col = w * f_no_abs
+        roulette_c = w_col < W_THRES
+        w_col = jnp.where(roulette_c, jnp.where(u[1] > w_col, 0.0, 1.0), w_col)
+        p_scat = ssa_tot / (ssa_tot - 1.0 + k_null / jnp.maximum(k_here, eps))
+        is_null = u[4] >= p_scat
+
+        sr3 = u[5] * jnp.maximum(k_sca_tot, eps)
+        t_aer = sr3 < ksa[ijk]
+        t_cld = (~t_aer) & (sr3 < ksa[ijk] + ksc[ijk])
+        g_cld = jnp.minimum(1.0 - eps, ac[ijk])
+        g_aer = jnp.minimum(1.0 - eps, aa[ijk])
+        g_eff = jnp.where(t_aer, g_aer, jnp.where(t_cld, g_cld, 0.0))
+        cos_ray3 = _rayleigh_sample(u[6])
+        g_safe = jnp.where(jnp.abs(g_eff) < 1e-4, 1e-4, g_eff)
+        cos_hg3 = _henyey_sample(g_safe, u[6])
+        cos_dom = jnp.where(t_aer | t_cld, cos_hg3, cos_ray3)
+
+        # ============ masks ============
+        m_bg = alive & in_bg
+        m_bgc = m_bg & bg_crossing
+        m_bgh = m_bg & ~bg_crossing
+        m_dom = alive & ~in_bg
+        m_cross = m_dom & crossing
+        m_sfc = m_cross & hit_sfc
+        m_tod = m_cross & hit_tod & ~hit_sfc
+        m_pass = m_cross & ~hit_sfc & ~hit_tod
+        m_col = m_dom & ~crossing
+        m_scat_dom = m_col & (w_col > 0.0) & ~is_null
+        m_null = m_col & (w_col > 0.0) & is_null
+        m_scat_bg = m_bgh & (w_bg > 0.0)
+        sfc_alive = m_sfc & (w_sfc_rr > 0.0)
+
+        # ============ next-event estimation (scatter + surface) ============
+        need_nee = m_scat_dom | m_scat_bg | m_sfc
+        # phase value toward the sun
+        cos_sun = jnp.clip(jnp.sum(direction * sun_direction[None, :], axis=1),
+                           -1.0, 1.0)
+        p_dom = jnp.where(
+            t_aer | t_cld, henyey_phase(g_safe, cos_sun), rayleigh_phase(cos_sun)
+        ) * SUN_SOLID_ANGLE
+        p_bg = rayleigh_phase(cos_sun) * SUN_SOLID_ANGLE
+        p_evt = jnp.where(m_sfc, p_sun_sfc, jnp.where(m_bgh, p_bg, p_dom))
+        w_evt = jnp.where(m_sfc, w_sfc, jnp.where(m_bgh, w_bg, w_col))
+        nee_pos = jnp.where(m_sfc[:, None], pos_cross.at[:, 2].set(eps),
+                            jnp.where(m_bgh[:, None], pos_bgh, pos_col))
+        t_sun = sun_transmission(nee_pos, state.bg_idx, need_nee, ksun)
+        count = count.at[pix].add(
+            jnp.where(need_nee, w_evt * p_evt * t_sun, 0.0))
+
+        # ============ merge new state ============
+        new_pos = jnp.where(m_bgc[:, None], pos_bgc2,
+                    jnp.where(m_bgh[:, None], pos_bgh,
+                      jnp.where(m_col[:, None], pos_col,
+                        jnp.where(m_sfc[:, None], pos_cross.at[:, 2].set(eps),
+                          jnp.where(m_tod[:, None],
+                                    pos_cross.at[:, 2].set(size_z + s_min_bg),
+                                    jnp.where(m_pass[:, None], pos_pass, pos))))))
+
+        scat_dir_dom = _scatter_direction(direction, jnp.clip(cos_dom, -1, 1), u[7])
+        scat_dir_bg = _scatter_direction(direction, jnp.clip(cos_bg, -1, 1), u[7])
+        new_dir = jnp.where(sfc_alive[:, None], sfc_new_dir,
+                    jnp.where(m_scat_dom[:, None], scat_dir_dom,
+                      jnp.where(m_scat_bg[:, None], scat_dir_bg, direction)))
+
+        new_w = jnp.where(m_sfc, w_sfc_rr, jnp.where(m_col, w_col,
+                          jnp.where(m_bgh, w_bg, w)))
+
+        died = ((m_sfc & ~sfc_alive) | (m_col & (w_col <= 0.0))
+                | (m_bgh & (w_bg <= 0.0))
+                | (m_bgc & leave_toa & ~enter_domain))
+        new_alive = alive & ~died
+
+        keep_direct = ~(sfc_alive & ~specular_sfc) & ~m_scat_dom & ~m_scat_bg
+        new_direct = state.is_direct & keep_direct
+
+        new_dmax = jnp.where(m_null, d_max - dn, 0.0)
+        new_dmax = jnp.where(alive & ~m_null & ~m_pass & ~m_sfc & ~m_tod
+                             & ~m_col & ~m_bg, d_max, new_dmax)
+        new_trans = m_pass | m_bgc | m_tod
+        new_tau = jnp.where(m_pass, tau_pass,
+                            jnp.where(m_tod, tau_tod,
+                                      jnp.where(m_bgc, tau_bgc, tau)))
+        new_bgi = jnp.where(m_bgc, bgi_next,
+                            jnp.where(m_tod, 0, state.bg_idx)).astype(jnp.int32)
+
+        new_state = _BwState(
+            pos=new_pos, direction=new_dir, weight=new_w,
+            is_direct=new_direct, alive=new_alive, tau=new_tau,
+            d_max=new_dmax, k_null=k_null, transition=new_trans,
+            bg_idx=new_bgi)
+        return new_state, count, key, step + 1
+
+    def cond(carry):
+        state, count, key, step = carry
+        return jnp.logical_and(jnp.any(state.alive), step < max_steps)
+
+    state, camera_count, key, steps = jax.lax.while_loop(
+        cond, body, (state, camera_count, key, jnp.zeros((), jnp.int32)))
+
+    return (camera_count.reshape(camera.ny, camera.nx),
+            camera_shot.reshape(camera.ny, camera.nx))
+
+
+def count_to_radiance(count, toa_src, toa_factor, photons_per_pixel):
+    """count_to_flux_2d (Raytracer_bw.cu:275-289)."""
+    return count * (toa_src * toa_factor / photons_per_pixel)

@@ -1,0 +1,109 @@
+"""Backward (camera) ray tracer: analytic limits."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rte_rrtmgp_tpu.models import raytracer_bw as rbw
+
+NZ, NY, NX = 4, 8, 8
+DZ = DY = DX = 500.0
+MU0 = 0.8
+SUN = np.array([np.sqrt(1 - MU0 ** 2), 0.0, MU0])  # toward the sun
+KBG = 2
+
+
+def _bg(k=1e-9):
+    k_bg = jnp.full((KBG,), k, jnp.float32)
+    ssa_bg = jnp.zeros((KBG,), jnp.float32)
+    asy_split = jnp.zeros((KBG, 3), jnp.float32).at[:, 0].set(1.0)
+    z_lev = jnp.asarray([NZ * DZ, NZ * DZ + 1000.0, NZ * DZ + 2000.0],
+                        jnp.float32)
+    return k_bg, ssa_bg, asy_split, z_lev
+
+
+def _trace(key, k_ext, ksg, albedo=0.2, land=1.0, ppp=32, cam=None,
+           k_abs_bg=1e-9):
+    shape = (NZ, NY, NX)
+    zeros = jnp.zeros(shape, jnp.float32)
+    cam = cam or rbw.Camera(cam_type=2, nx=NX, ny=NY)
+    return rbw.trace_rays_bw(
+        key, cam, k_ext, ksg, zeros, zeros, zeros, zeros,
+        *_bg(k_abs_bg),
+        jnp.full((NY, NX), albedo, jnp.float32),
+        jnp.full((NY, NX), land, jnp.float32),
+        (2, 2, 2), (DZ, DY, DX), jnp.asarray(SUN, jnp.float32), MU0,
+        photons_per_pixel=ppp)
+
+
+def test_vacuum_lambertian_radiance():
+    """No atmosphere, Lambertian albedo 0.2: TOA nadir radiance estimator
+    equals albedo * sun_solid_angle / pi exactly (reference calibration)."""
+    shape = (NZ, NY, NX)
+    count, shot = _trace(jax.random.PRNGKey(0),
+                         jnp.full(shape, 1e-9, jnp.float32),
+                         jnp.zeros(shape, jnp.float32), ppp=64)
+    per_photon = float(np.asarray(count).sum() / np.asarray(shot).sum())
+    expect = 0.2 * rbw.SUN_SOLID_ANGLE / np.pi
+    assert abs(per_photon - expect) / expect < 0.05
+
+
+def test_absorbing_atmosphere_attenuates():
+    """Absorbing layer reduces the rendered surface radiance by roughly
+    exp(-tau*(1/mu0 + 1)) (sun slant in + vertical out)."""
+    shape = (NZ, NY, NX)
+    k_abs = 2.0e-4  # tau = 0.4 over the domain
+    c0, s0 = _trace(jax.random.PRNGKey(1), jnp.full(shape, 1e-9, jnp.float32),
+                    jnp.zeros(shape, jnp.float32), ppp=64)
+    c1, s1 = _trace(jax.random.PRNGKey(2), jnp.full(shape, k_abs, jnp.float32),
+                    jnp.zeros(shape, jnp.float32), ppp=64)
+    tau = k_abs * NZ * DZ
+    got = float(np.asarray(c1).sum() / np.asarray(c0).sum())
+    expect = np.exp(-tau / MU0 - tau)
+    assert abs(got - expect) / expect < 0.1, (got, expect)
+
+
+def test_specular_water_surface():
+    """Water (land_use=0) + direct beam: specular reflection - a nadir
+    camera over flat water sees (almost) no sun glint unless sun is at
+    zenith; Lambertian land sees diffuse radiance everywhere."""
+    shape = (NZ, NY, NX)
+    k = jnp.full(shape, 1e-9, jnp.float32)
+    z = jnp.zeros(shape, jnp.float32)
+    c_land, _ = _trace(jax.random.PRNGKey(3), k, z, albedo=0.2, land=1.0, ppp=32)
+    c_water, _ = _trace(jax.random.PRNGKey(4), k, z, albedo=0.2, land=0.0, ppp=32)
+    # Specular: mirror of nadir view direction is straight up, sun is at
+    # 37 deg zenith -> no glint.
+    assert np.asarray(c_water).sum() < 0.05 * np.asarray(c_land).sum()
+
+
+def test_scattering_atmosphere_brightens_sky():
+    """A Rayleigh-scattering layer adds path radiance for an upward-looking
+    ray (rect camera pointing up sees scattered sun light)."""
+    shape = (NZ, NY, NX)
+    cam = rbw.Camera(cam_type=1, nx=4, ny=4, fov=40.0, pitch_deg=-90.0,
+                     position=(2000.0, 2000.0, 100.0))
+    k_s = 2e-4
+    k_ext = jnp.full(shape, k_s, jnp.float32)
+    ksg = jnp.full(shape, k_s, jnp.float32)  # pure scattering
+    c_sky, _ = _trace(jax.random.PRNGKey(5), k_ext, ksg, albedo=0.0, ppp=64,
+                      cam=cam)
+    c_vac, _ = _trace(jax.random.PRNGKey(6), jnp.full(shape, 1e-9, jnp.float32),
+                      jnp.zeros(shape, jnp.float32), albedo=0.0, ppp=64,
+                      cam=cam)
+    assert np.asarray(c_sky).sum() > 10 * max(np.asarray(c_vac).sum(), 1e-12)
+    assert np.isfinite(np.asarray(c_sky)).all()
+
+
+def test_camera_models_produce_rays():
+    """All three camera types produce unit-norm directions and valid pixels."""
+    for cam_type in (0, 1, 2):
+        cam = rbw.Camera(cam_type=cam_type, nx=4, ny=4, fov=90.0,
+                         position=(1000.0, 1000.0, 500.0))
+        pix, pos, direction = rbw._camera_rays(
+            cam, jax.random.PRNGKey(0), 32, (4000.0, 4000.0, 2000.0), 4000.0,
+            jnp.float32)
+        n = np.asarray(jnp.linalg.norm(direction, axis=1))
+        np.testing.assert_allclose(n, 1.0, atol=1e-5)
+        assert np.asarray(pix).min() >= 0 and np.asarray(pix).max() < 16
