@@ -52,6 +52,7 @@ class NcReader:
 
     def __init__(self, path: str, group: Optional[str] = None):
         self.path = path
+        self._nat = None
         if _is_hdf5(path):
             if h5py is None:
                 raise RuntimeError("h5py required to read NetCDF4 files")
@@ -59,18 +60,31 @@ class NcReader:
             self._root = self._h5[group] if group else self._h5
             self._sp = None
         else:
-            from scipy.io import netcdf_file
-
             if group:
                 raise ValueError("groups are not supported for NetCDF3 files")
-            self._sp = netcdf_file(path, "r", mmap=False)
             self._h5 = None
             self._root = None
+            self._sp = None
+            # Prefer the native C++ classic codec (src_native/ncio.cc);
+            # scipy.io.netcdf_file is the pure-Python fallback.
+            from . import native
+
+            if native.available():
+                try:
+                    self._nat = native.NativeNcFile(path)
+                except OSError:
+                    self._nat = None
+            if self._nat is None:
+                from scipy.io import netcdf_file
+
+                self._sp = netcdf_file(path, "r", mmap=False)
 
     # -- introspection ------------------------------------------------------
     def has(self, name: str) -> bool:
         if self._h5 is not None:
             return name in self._root and isinstance(self._root[name], h5py.Dataset)
+        if self._nat is not None:
+            return self._nat.has(name)
         return name in self._sp.variables
 
     def group(self, name: str) -> "NcReader":
@@ -97,6 +111,11 @@ class NcReader:
                     if dimname == name:
                         return ds.shape[i]
             raise KeyError(f"dimension {name!r} not found in {self.path}")
+        if self._nat is not None:
+            dims = self._nat.dims()
+            if name not in dims:
+                raise KeyError(f"dimension {name!r} not found in {self.path}")
+            return dims[name]
         size = self._sp.dimensions.get(name)
         if size is None:
             # Unlimited dims report None; measure from a variable.
@@ -110,6 +129,8 @@ class NcReader:
     def read(self, name: str, dtype=None) -> np.ndarray:
         if self._h5 is not None:
             arr = np.asarray(self._root[name][()])
+        elif self._nat is not None:
+            arr = self._nat.read(name)
         else:
             arr = np.asarray(self._sp.variables[name][:]).copy()
         if arr.dtype.kind in "SU" or (arr.dtype.kind == "S"):
@@ -128,11 +149,15 @@ class NcReader:
     def variables(self) -> Iterable[str]:
         if self._h5 is not None:
             return [k for k, v in self._root.items() if isinstance(v, h5py.Dataset)]
+        if self._nat is not None:
+            return self._nat.variables()
         return list(self._sp.variables)
 
     def close(self):
         if self._h5 is not None:
             self._h5.close()
+        elif self._nat is not None:
+            self._nat.close()
         else:
             self._sp.close()
 
