@@ -1,0 +1,154 @@
+"""Runtime kernel autotuner with a persisted winner cache.
+
+The TPU-native counterpart of the reference's CUDA block-size ``Tuner``
+(``include/tuner.h:79-182``): where the reference benchmarks candidate CUDA
+block dims with events and persists winners to
+``rte_rrtmgp_kernel_tuning.txt``, this benchmarks *compiled variants* of a
+kernel (e.g. Pallas block shapes, gpt chunk sizes, layout choices) on the
+live device and persists winners to a JSON cache keyed by
+(kernel name, static config, device kind).
+
+Usage::
+
+    cfg = autotune(
+        "tau_major",
+        candidates=[{"blk": 8}, {"blk": 16}, {"blk": 32}],
+        build=lambda cand: jax.jit(functools.partial(kernel, **cand)),
+        args=(x, y),
+    )
+
+The winner is measured once per process and cached across processes in
+``RTE_RRTMGP_TUNER_CACHE`` (default: ``~/.cache/rte_rrtmgp_tpu/tuning.json``).
+Set ``RTE_RRTMGP_TUNER_DISABLE=1`` to always use the first candidate
+(deterministic CI runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+_lock = threading.Lock()
+_memory_cache: Dict[str, dict] = {}
+_disk_loaded = False
+
+
+def _cache_path() -> str:
+    return os.environ.get(
+        "RTE_RRTMGP_TUNER_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "rte_rrtmgp_tpu",
+                     "tuning.json"))
+
+
+def _load_disk() -> None:
+    global _disk_loaded
+    if _disk_loaded:
+        return
+    _disk_loaded = True
+    path = _cache_path()
+    try:
+        with open(path) as f:
+            _memory_cache.update(json.load(f))
+    except (OSError, ValueError):
+        pass
+
+
+def _save_disk() -> None:
+    path = _cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(_memory_cache, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _device_kind() -> str:
+    import jax
+
+    try:
+        d = jax.devices()[0]
+        return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+    except Exception:
+        return "unknown"
+
+
+def _key(name: str, static_key: Any) -> str:
+    return json.dumps([name, static_key, _device_kind()], sort_keys=True,
+                      default=str)
+
+
+def measure(fn: Callable, args: Sequence, iters: int = 8,
+            warmup: int = 2) -> float:
+    """Median wall time of ``fn(*args)`` in seconds (device-synchronized),
+    the analog of the reference's 8-sample CUDA-event loop
+    (``include/tuner.h:127-140``)."""
+    import jax
+
+    times = []
+    for i in range(warmup + iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        if i >= warmup:
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def autotune(name: str,
+             candidates: List[dict],
+             build: Callable[[dict], Callable],
+             args: Sequence,
+             static_key: Any = None,
+             iters: int = 8) -> dict:
+    """Return the fastest candidate config (cached).
+
+    ``build(candidate) -> fn``; a candidate whose build or execution raises
+    is skipped (the reference does the same for invalid block dims,
+    ``include/tuner.h:120-125``).
+    """
+    assert candidates, "need at least one candidate"
+    if os.environ.get("RTE_RRTMGP_TUNER_DISABLE"):
+        return candidates[0]
+
+    with _lock:
+        _load_disk()
+        key = _key(name, static_key)
+        hit = _memory_cache.get(key)
+        if hit is not None and hit.get("config") in candidates:
+            return hit["config"]
+
+    results = []
+    for cand in candidates:
+        try:
+            fn = build(cand)
+            dt = measure(fn, args, iters=iters)
+            results.append((dt, cand))
+        except Exception:
+            continue
+    if not results:
+        raise RuntimeError(f"autotune({name!r}): every candidate failed")
+    results.sort(key=lambda r: r[0])
+    best_dt, best = results[0]
+
+    with _lock:
+        _memory_cache[key] = {
+            "config": best,
+            "ms": best_dt * 1e3,
+            "all": [{"config": c, "ms": d * 1e3} for d, c in results],
+        }
+        _save_disk()
+    return best
+
+
+def cached_winners() -> Dict[str, dict]:
+    """Snapshot of the tuning table (for inspection / tests)."""
+    with _lock:
+        _load_disk()
+        return dict(_memory_cache)
