@@ -5,10 +5,15 @@ Workload: RCEMIP-like — 2048 columns x 72 layers, full spectral resolution
 denominator follows BASELINE.md ("columns x g-points/s per chip for the
 lw+sw two-stream solve").
 
+Timing methodology (important on tunneled/async runtimes where
+``block_until_ready`` can resolve without a device sync, and where identical
+dispatches may be deduplicated): every iteration feeds a *value-varying*
+input that data-depends on the previous iteration's output, and the clock
+stops only after fetching a scalar from the final output to the host.
+
 The reference repo publishes no numbers and its CPU build cannot run in this
 image (empty Fortran/data submodules), so ``vs_baseline`` is reported
-against our own recorded first-round result (r1 = 1.0 by definition;
-later rounds show the speedup factor).
+against our recorded first working round-1 result.
 
 Prints exactly one JSON line.
 """
@@ -22,12 +27,14 @@ import numpy as np
 NCOL = int(os.environ.get("BENCH_NCOL", 2048))
 NLAY = int(os.environ.get("BENCH_NLAY", 72))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
-GPT_CHUNK = os.environ.get("BENCH_GPT_CHUNK")
-GPT_CHUNK = int(GPT_CHUNK) if GPT_CHUNK else None
+GPT_CHUNK = os.environ.get("BENCH_GPT_CHUNK", "64")
+GPT_CHUNK = int(GPT_CHUNK) if GPT_CHUNK not in ("", "none", "None") else None
 
-# Throughput of the first working round-1 build on the single v5e chip
-# (pure-XLA gather path, 2026-08-16); the fixed baseline for vs_baseline.
-R1_BASELINE_COLGPT_PER_S = 8.19e6
+# Throughput of the first round-1 build measured with *correct* (fetch-
+# synchronized) timing on the single v5e chip (2026-08-16): the pure-XLA
+# element-gather path ran the 2048x72 all-sky lw+sw step in 23.6 s
+# = 4.17e4 col*gpt/s.  That is the fixed baseline for vs_baseline.
+R1_BASELINE_COLGPT_PER_S = 4.17e4
 
 
 def main():
@@ -45,25 +52,23 @@ def main():
 
     fn = jax.jit(step)
     out = fn(*args)
-    jax.block_until_ready(out)  # compile + warmup
+    warm = float(np.asarray(out["lw_flux_up"]).ravel()[0])  # compile+warmup
+    assert np.isfinite(warm)
 
-    # Chain iterations through a zero-weight data dependency: identical
-    # async dispatches can otherwise be deduplicated by the runtime,
-    # reporting dispatch latency instead of device time.
+    # Chain iterations through a value-varying data dependency; sync by
+    # fetching a scalar at the end (see module docstring).
     t_lay0 = args[2]
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for it in range(ITERS):
         out = fn(*args)
-        args[2] = t_lay0 + 0.0 * out["lw_flux_up"][:, :NLAY]
-    jax.block_until_ready(out)
+        args[2] = t_lay0 + (it + 1) * 1e-5 + 0.0 * out["lw_flux_up"][:, :NLAY]
+    final = float(out["lw_flux_up"].sum() + out["sw_flux_dn"].sum())
     dt = time.perf_counter() - t0
+    assert np.isfinite(final), final
 
     ngpt_total = kd_lw.ngpt + kd_sw.ngpt
     colgpt_per_s = NCOL * ngpt_total * ITERS / dt
     ms_per_step = dt / ITERS * 1e3
-
-    assert np.isfinite(np.asarray(out["lw_flux_up"])).all()
-    assert np.isfinite(np.asarray(out["sw_flux_dn"])).all()
 
     baseline = R1_BASELINE_COLGPT_PER_S or colgpt_per_s
     print(json.dumps({

@@ -86,6 +86,18 @@ class KDist:
     temp_ref: object              # (ntemp,)
     vmr_ref: object               # (2, ngas+1, ntemp)
 
+    # ---- derived row-major gather tables (see ops/gas_optics.py) ----
+    # TPU element gathers are catastrophically slow (scalar path) while row
+    # gathers (gpt on the 128-lane axis) run near memory bandwidth, so the
+    # interpolation tables are re-laid-out at load time into 2-D "row"
+    # forms addressed by a single per-(col,lay) scalar index:
+    kmajor_rows: object           # ((npress+1)*ntemp, neta, ngpt)
+    planck_rows: object           # ((npress+1)*ntemp, neta, ngpt); LW only
+    krayl_rows: object            # (2*ntemp, neta, ngpt); SW only
+    kminor_lower_rows: object     # ((neta-1)*ntemp, 2, ncont_lower)
+    kminor_upper_rows: object     # ((neta-1)*ntemp, 2, ncont_upper)
+    ratio_rows: object            # (2*ntemp, nflav): vmr_ref[g1]/vmr_ref[g2]
+
     # ---- static metadata ----
     gas_names: Tuple[str, ...]
     idx_h2o: int                          # col_gas axis index of h2o
@@ -184,6 +196,12 @@ class KDist:
             kmajor=slc(self.kmajor),
             krayl=slc(self.krayl, axis=1),
             planck_frac=slc(self.planck_frac),
+            kmajor_rows=slc(self.kmajor_rows, axis=2),
+            planck_rows=slc(self.planck_rows, axis=2),
+            krayl_rows=slc(self.krayl_rows, axis=2),
+            # kminor_*_rows / ratio_rows are not g-indexed: the minor tables
+            # are addressed by per-spec static column ranges (kminor_start
+            # stays a full-table offset) and the ratio table is per-flavor.
             solar_source=slc(self.solar_source),
             solar_source_quiet=slc(self.solar_source_quiet),
             solar_source_facular=slc(self.solar_source_facular),
@@ -402,9 +420,53 @@ class KDist:
         blw = np.asarray(raw["bnd_limits_wavenumber"], dtype=np.float64)
         band_lims_wvn = tuple((float(blw[ib, 0]), float(blw[ib, 1])) for ib in range(nbnd))
 
+        # --- derived row-gather table layouts (float64, cast below) ---
+        # kmajor (ngpt, npress+1, neta, ntemp) -> rows (p*T + t, e, g)
+        npress1 = kmajor.shape[1]
+        kmajor_rows = np.transpose(kmajor, (1, 3, 2, 0)).reshape(
+            npress1 * ntemp, kmajor.shape[2], ngpt)
+        planck_rows = None
+        if planck_frac is not None:
+            planck_rows = np.transpose(planck_frac, (1, 3, 2, 0)).reshape(
+                npress1 * ntemp, planck_frac.shape[2], ngpt)
+        krayl_rows = None
+        if krayl is not None:
+            # (2, ngpt, neta, ntemp) -> rows (itropo*T + t, e, g)
+            krayl_rows = np.transpose(krayl, (0, 3, 2, 1)).reshape(
+                2 * ntemp, krayl.shape[2], ngpt)
+
+        def minor_rows(km):
+            # km (ncont, neta, ntemp) -> rows (je*T + t, de, ncont) with the
+            # eta corner pre-expanded: row[je*T+t, de, :] = km[:, je+de, t].
+            ncont, neta_m, ntemp_m = km.shape
+            out = np.empty(((neta_m - 1) * ntemp_m, 2, ncont))
+            for de in range(2):
+                # (je, t, ncont)
+                out.reshape(neta_m - 1, ntemp_m, 2, ncont)[:, :, de, :] = (
+                    np.transpose(km[:, de:de + neta_m - 1, :], (1, 2, 0)))
+            return out
+
+        kminor_lower_rows = minor_rows(kminor_lower)
+        kminor_upper_rows = minor_rows(kminor_upper)
+
+        # binary-species mixing ratio eta numerator/denominator ratio,
+        # precomputed per (atmosphere, temp, flavor); 0/0 handled exactly as
+        # the reference's runtime division would.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g1 = np.array([f[0] for f in flavor])
+            g2 = np.array([f[1] for f in flavor])
+            ratio_rows = (vmr_ref[:, g1, :] / vmr_ref[:, g2, :]).transpose(
+                0, 2, 1).reshape(2 * ntemp, len(flavor))
+
         cast = lambda a: None if a is None else np.asarray(a, dtype=dtype)
         return KDist(
             kmajor=cast(kmajor),
+            kmajor_rows=cast(kmajor_rows),
+            planck_rows=cast(planck_rows),
+            krayl_rows=cast(krayl_rows),
+            kminor_lower_rows=cast(kminor_lower_rows),
+            kminor_upper_rows=cast(kminor_upper_rows),
+            ratio_rows=cast(ratio_rows),
             kminor_lower=cast(kminor_lower),
             kminor_upper=cast(kminor_upper),
             krayl=cast(krayl),

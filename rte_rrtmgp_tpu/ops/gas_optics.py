@@ -1,20 +1,32 @@
-"""RRTMGP gas optics — vectorized JAX implementation.
+"""RRTMGP gas optics — vectorized JAX implementation, TPU-first.
 
 The TPU-native re-design of the reference gas-optics kernels
-(``src_kernels_cuda/gas_optics_rrtmgp_kernels.cu``):
+(``src_kernels_cuda/gas_optics_rrtmgp_kernels.cu``).  The central constraint
+on TPU is that *element* gathers (arbitrary per-element indices) lower to a
+scalar path that runs ~1000x below memory bandwidth, while *row* gathers
+(shared index per 128-lane row) run near bandwidth.  So every k-table lookup
+here is phrased as a row gather plus fused elementwise selection:
 
-* the per-(col,lay,flavor) interpolation kernel (`:317-395`) becomes a fully
-  vectorized computation over an (ncol, nlay, nflav, 2) index/weight tensor,
-* the 8-point trilinear k-table gathers of the major-gas kernel (`:398-443`)
-  become flat ``jnp.take`` gathers with indices shaped (ncol, nlay, ngpt),
-* the ragged minor-gas interval loop (`:458-579`) unrolls at *trace time*
-  over the static ``MinorSpec`` tuple — every g-point range is a static
-  slice, so XLA sees only dense, statically-shaped ops (no ragged indexing
-  on device; this replaces the reference's ``kminor_start`` indirection),
-* Planck source (`:196-314`) reuses the same trilinear gather with the
-  band-integrated Planck radiance interpolated along the temperature table.
+* the 8-point trilinear k-table interpolation of the major-gas kernel
+  (`:398-443`) gathers four (neta, ngpt) "slabs" per (col, lay) — one per
+  (temperature, pressure) corner — from the load-time row layout
+  ``KDist.kmajor_rows`` ((npress+1)*ntemp rows), then contracts the eta axis
+  with a one-hot mask built from per-g-point eta indices,
+* per-flavor quantities (jeta, col_mix, fminor, fmajor) are expanded to
+  per-g-point with **static** flavor masks (two, selected by the troposphere
+  flag) — a masked sum over <=10 flavors instead of a gather,
+* the ragged minor-gas interval loop (`:458-579`) unrolls at trace time over
+  the static ``MinorSpec`` tuple; each interval does one 2-row gather from a
+  de-pre-expanded table (``KDist.kminor_*_rows``),
+* Planck sources (`:196-314`) reuse the major-gas slab rows on the
+  ``planck_rows`` table; Rayleigh (`:674-718`) uses 2-row gathers on
+  ``krayl_rows``.
 
-Everything here is shape-polymorphic in (ncol, nlay) and jit-compatible with
+Floating-point accumulation order matches the reference kernels pairwise
+(the eta one-hot adds exact zeros), so results agree with the NumPy oracle
+(ops/reference.py) to roundoff.
+
+Everything is shape-polymorphic in (ncol, nlay) and jit-compatible with
 ``KDist`` passed as a pytree argument.
 """
 
@@ -30,6 +42,7 @@ from .. import config
 from ..models.kdist import KDist
 from ..models.types import OpticalProps1scl, OpticalProps2str, SourceFuncLW
 from ..utils.pytree import pytree_dataclass
+from .fluxes import expand_bands_to_gpt
 
 
 @pytree_dataclass
@@ -46,17 +59,39 @@ class Interp:
     fmajor: object    # (ncol, nlay, nflav, 2, 2, 2) [itemp, press, eta]
 
 
+def _take_small(table, idx):
+    """Exact gather from a tiny table via masked sum (TPU: fused VPU ops,
+    no scalar gather).  table: (R, *w); idx: (...) int -> out (..., *w)."""
+    r0 = jnp.where(idx == 0, 1.0, 0.0).astype(table.dtype)
+    out = r0[(...,) + (None,) * (table.ndim - 1)] * table[0]
+    for r in range(1, table.shape[0]):
+        m = jnp.where(idx == r, 1.0, 0.0).astype(table.dtype)
+        out = out + m[(...,) + (None,) * (table.ndim - 1)] * table[r]
+    return out
+
+
+def _take_small_select(table, idx):
+    """Like _take_small but NaN/Inf-safe (select, not multiply-by-zero):
+    needed for the precomputed eta ratio table whose never-selected rows can
+    contain 0/0."""
+    shape = idx.shape + table.shape[1:]
+    idx_b = idx[(...,) + (None,) * (table.ndim - 1)]
+    out = jnp.zeros(shape, table.dtype)
+    for r in range(table.shape[0]):
+        out = jnp.where(idx_b == r, table[r], out)
+    return out
+
+
 def interpolation(kd: KDist, play, tlay, col_gas) -> Interp:
     """Vectorized port of interpolation_kernel (:317-395)."""
     dtype = play.dtype
     ntemp, neta, npres = kd.ntemp, kd.neta, kd.press_ref_log.shape[0]
-    nflav = kd.nflav
     tiny = config.tiny(dtype)
 
     jtemp = jnp.clip(
         ((tlay - (kd.temp_ref_min - kd.temp_ref_delta)) / kd.temp_ref_delta)
         .astype(jnp.int32), 1, ntemp - 1)
-    ftemp = (tlay - kd.temp_ref[jtemp - 1]) / kd.temp_ref_delta
+    ftemp = (tlay - _take_small(kd.temp_ref, jtemp - 1)) / kd.temp_ref_delta
 
     log_play = jnp.log(play)
     locpress = 1.0 + (log_play - kd.press_ref_log[0]) / kd.press_ref_log_delta
@@ -70,24 +105,18 @@ def interpolation(kd: KDist, play, tlay, col_gas) -> Interp:
     gas1 = np.array([f[0] for f in kd.flavor], dtype=np.int32)   # (nflav,)
     gas2 = np.array([f[1] for f in kd.flavor], dtype=np.int32)
 
-    cg1 = col_gas[:, :, gas1]   # (ncol, nlay, nflav)
+    cg1 = col_gas[:, :, gas1]   # (ncol, nlay, nflav) — static column gather
     cg2 = col_gas[:, :, gas2]
 
-    # vmr_ref[itropo, gas, jtemp0 + itemp] for both flavor gases.
-    vmr_ref = kd.vmr_ref  # (2, ngas+1, ntemp)
-    ngasp1 = vmr_ref.shape[1]
-    vflat = vmr_ref.reshape(-1)
-    jt0 = (jtemp - 1)[:, :, None, None]                       # (ncol,nlay,1,1)
-    offs = np.arange(2, dtype=np.int32)[None, None, None, :]   # itemp
-    itro = itropo01[:, :, None, None]
+    # eta ratio vmr1/vmr2 at (itropo, jtemp0 + itemp), precomputed per
+    # flavor at load time (KDist.ratio_rows, rows = itropo*ntemp + jtemp).
+    jt0 = jtemp - 1
+    rows = itropo01 * ntemp + jt0                                # (ncol,nlay)
+    r0 = _take_small_select(kd.ratio_rows, rows)                 # (...,nflav)
+    r1 = _take_small_select(kd.ratio_rows, rows + 1)
+    ratio = jnp.stack([r0, r1], axis=-1)                         # (...,nflav,2)
 
-    def vmr_at(gas_idx):
-        g = gas_idx[None, None, :, None]
-        idx = (itro * ngasp1 + g) * ntemp + (jt0 + offs)
-        return jnp.take(vflat, idx)                            # (ncol,nlay,nflav,2)
-
-    ratio = vmr_at(gas1) / vmr_at(gas2)
-    col_mix = cg1[..., None] + ratio * cg2[..., None]          # (ncol,nlay,nflav,2)
+    col_mix = cg1[..., None] + ratio * cg2[..., None]            # (...,nflav,2)
     eta = jnp.where(col_mix > 2.0 * tiny, cg1[..., None] / col_mix, 0.5)
 
     loceta = eta * (neta - 1)
@@ -111,73 +140,107 @@ def interpolation(kd: KDist, play, tlay, col_gas) -> Interp:
     )
 
 
-def _flavor_of_gpt(kd: KDist, interp: Interp):
-    """iflav per (ncol, nlay, ngpt): gpoint_flavor selected by troposphere."""
-    gpf = np.asarray(kd.gpoint_flavor, dtype=np.int32)  # (2, ngpt) static
-    return jnp.where(interp.tropo[:, :, None], gpf[0][None, None, :],
-                     gpf[1][None, None, :])
+def _flavor_masks(kd: KDist, dtype):
+    """Static 0/1 masks (2 atmospheres, nflav, ngpt): mask[a, f, g] = 1 iff
+    g-point g uses flavor f in atmosphere a (gpoint_flavor, `:331-363`)."""
+    gpf = np.asarray(kd.gpoint_flavor, dtype=np.int64)   # (2, ngpt)
+    f_iota = np.arange(kd.nflav, dtype=np.int64)[None, :, None]
+    return np.asarray(gpf[:, None, :] == f_iota, dtype=dtype)
 
 
-def _gather_flav(arr, iflav):
-    """Gather (ncol, nlay, nflav) along the flavor axis with iflav
-    (ncol, nlay, ngpt) -> (ncol, nlay, ngpt).
+def _resolve_flav(x, masks, tropo):
+    """Expand a per-flavor quantity to per-g-point with static masks.
 
-    Only rank-3 inputs: gathering with trailing unit/corner dims would force
-    XLA to tile tiny trailing axes onto the (sublane, lane) layout — a 64x
-    padding blowup on TPU (observed: a 67 GB s32 temp for a 1 GB gather).
-    Callers gather each trilinear-corner component separately instead.
+    x: (ncol, nlay, nflav); masks: (2, nflav, ngpt) 0/1; tropo (ncol, nlay).
+    Exactly one mask entry is 1 per (a, g), so the masked sum is an exact
+    select — the TPU-friendly replacement for take_along_axis over flavors.
     """
-    assert arr.ndim == 3, arr.shape
-    return jnp.take_along_axis(arr, iflav, axis=2)
+    nflav = x.shape[2]
+    out0 = x[:, :, 0, None] * masks[0, 0]
+    out1 = x[:, :, 0, None] * masks[1, 0]
+    for f in range(1, nflav):
+        out0 = out0 + x[:, :, f, None] * masks[0, f]
+        out1 = out1 + x[:, :, f, None] * masks[1, f]
+    return jnp.where(tropo[:, :, None], out0, out1)
 
 
-def _interp3d_gather(kd: KDist, table, interp: Interp, scale_by_colmix: bool):
-    """Shared 8-point trilinear gather over a (ngpt, npress+1, neta, ntemp)
-    table; the math of gas_optical_depths_major_kernel (:398-443) /
-    Planck_source_kernel's pfrac (:262-271)."""
-    ngpt = table.shape[0]
-    npress1, neta, ntemp = table.shape[1], table.shape[2], table.shape[3]
-    tflat = table.reshape(-1)
+def _resolve_flav_int(x, kd: KDist, tropo):
+    """Integer variant (for jeta0): masked sum with int32 masks."""
+    gpf = np.asarray(kd.gpoint_flavor, dtype=np.int64)
+    f_iota = np.arange(kd.nflav, dtype=np.int64)[None, :, None]
+    masks = np.asarray(gpf[:, None, :] == f_iota, dtype=np.int32)
+    out0 = x[:, :, 0, None] * masks[0, 0]
+    out1 = x[:, :, 0, None] * masks[1, 0]
+    for f in range(1, x.shape[2]):
+        out0 = out0 + x[:, :, f, None] * masks[0, f]
+        out1 = out1 + x[:, :, f, None] * masks[1, f]
+    return jnp.where(tropo[:, :, None], out0, out1)
 
-    iflav = _flavor_of_gpt(kd, interp)                     # (ncol,nlay,ngpt)
 
-    gidx = jnp.arange(ngpt, dtype=jnp.int32)[None, None, :]
-    p0 = (interp.jpress0 + interp.itropo01)[:, :, None]    # (ncol,nlay,1)
-    jt = interp.jtemp0[:, :, None]
+def _slab_rows(kd: KDist, interp: Interp):
+    """Row indices into kmajor_rows/planck_rows: (ncol, nlay, 2itemp, 2press),
+    r = (jpress0 + itropo + dp) * ntemp + (jtemp0 + i)."""
+    T = kd.ntemp
+    p0 = interp.jpress0 + interp.itropo01
+    base = p0 * T + interp.jtemp0
+    di = np.arange(2, dtype=np.int32)[None, None, :, None]       # itemp
+    dp = np.arange(2, dtype=np.int32)[None, None, None, :] * T   # press
+    return base[:, :, None, None] + di + dp
 
+
+def _interp3d_rows(kd: KDist, table_rows, interp: Interp, scale_by_colmix):
+    """Shared trilinear interpolation over a row-layout table
+    ((npress+1)*ntemp, neta, ngpt): the math of
+    gas_optical_depths_major_kernel (:398-443) / Planck_source_kernel's
+    pfrac (:262-271), as 4 row gathers + fused one-hot eta contraction."""
+    dtype = table_rows.dtype
+    neta = table_rows.shape[1]
+    masks = _flavor_masks(kd, dtype)
+    tropo = interp.tropo
+
+    rows = _slab_rows(kd, interp)                    # (C,L,2,2)
+    slab = jnp.take(table_rows, rows, axis=0)        # (C,L,2,2,E,G)
+
+    e_iota = jnp.arange(neta, dtype=jnp.int32)[None, None, :, None]
     out = 0.0
-    for i in range(2):      # temperature pair
-        base_t = jt + i
-        je0 = _gather_flav(interp.jeta0[:, :, :, i], iflav)
-        sc = (_gather_flav(interp.col_mix[:, :, :, i], iflav)
-              if scale_by_colmix else 1.0)
+    for i in range(2):
+        je = _resolve_flav_int(interp.jeta0[:, :, :, i], kd, tropo)  # (C,L,G)
+        je_b = je[:, :, None, :]
+        sel0 = (e_iota == je_b).astype(dtype)        # (C,L,E,G)
+        sel1 = (e_iota == je_b + 1).astype(dtype)
         acc = 0.0
         for dp in range(2):
-            for de in range(2):
-                w = _gather_flav(interp.fmajor[:, :, :, i, dp, de], iflav)
-                idx = ((gidx * npress1 + (p0 + dp)) * neta + (je0 + de)) * ntemp + base_t
-                acc = acc + w * jnp.take(tflat, idx)
-        out = out + sc * acc
+            w0 = _resolve_flav(interp.fmajor[:, :, :, i, dp, 0], masks, tropo)
+            w1 = _resolve_flav(interp.fmajor[:, :, :, i, dp, 1], masks, tropo)
+            w = w0[:, :, None, :] * sel0 + w1[:, :, None, :] * sel1
+            acc = acc + jnp.sum(w * slab[:, :, i, dp], axis=2)
+        if scale_by_colmix:
+            cm = _resolve_flav(interp.col_mix[:, :, :, i], masks, tropo)
+            out = out + cm * acc
+        else:
+            out = out + acc
     return out
 
 
 def tau_major(kd: KDist, interp: Interp):
     """tau from major gases: (ncol, nlay, ngpt)."""
-    return _interp3d_gather(kd, kd.kmajor, interp, scale_by_colmix=True)
+    return _interp3d_rows(kd, kd.kmajor_rows, interp, scale_by_colmix=True)
 
 
 def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
     """Minor-gas optical depth, both atmospheres; adds into ``tau``.
 
     Trace-time unrolled over the static MinorSpec tuples (the TPU-friendly
-    replacement for gas_optical_depths_minor_kernel :458-579).
+    replacement for gas_optical_depths_minor_kernel :458-579).  Each
+    interval is one 2-row gather from the de-pre-expanded
+    ``kminor_*_rows`` table ((neta-1)*ntemp rows of (2, ncont)).
     """
     dtype = play.dtype
-    ntemp, neta = kd.ntemp, kd.neta
+    ntemp = kd.ntemp
 
-    for lower, specs, kminor in (
-        (True, kd.minor_lower, kd.kminor_lower),
-        (False, kd.minor_upper, kd.kminor_upper),
+    for lower, specs, kminor_rows in (
+        (True, kd.minor_lower, kd.kminor_lower_rows),
+        (False, kd.minor_upper, kd.kminor_upper_rows),
     ):
         if not specs:
             continue
@@ -200,21 +263,19 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
             scaling = scaling * maskf
 
             ng = spec.gpt_end - spec.gpt_start
-            ksl = jax.lax.slice_in_dim(kminor, spec.kminor_start,
-                                       spec.kminor_start + ng, axis=0)
-            kflat = ksl.reshape(-1)   # (ng, neta, ntemp) flattened
-            j0 = interp.jeta0[:, :, spec.flavor, 0][:, :, None]  # (ncol,nlay,1)
-            j1 = interp.jeta0[:, :, spec.flavor, 1][:, :, None]
-            fm = interp.fminor[:, :, spec.flavor]                # (ncol,nlay,2,2)
-            gidx = jnp.arange(ng, dtype=jnp.int32)[None, None, :]
-            jtb = jt[:, :, None]
+            tbl = jax.lax.slice_in_dim(kminor_rows, spec.kminor_start,
+                                       spec.kminor_start + ng, axis=2)
+            # rows r_i = jeta0[f, i]*ntemp + jtemp0 + i  (i = temperature pair)
+            je = interp.jeta0[:, :, spec.flavor]         # (ncol, nlay, 2)
+            it = np.arange(2, dtype=np.int32)[None, None, :]
+            rows = je * ntemp + jt[:, :, None] + it      # (ncol, nlay, 2)
+            slab = jnp.take(tbl, rows, axis=0)           # (C,L,2i,2de,ng)
 
-            ltau = (
-                fm[:, :, 0, 0, None] * jnp.take(kflat, (gidx * neta + j0) * ntemp + jtb)
-                + fm[:, :, 0, 1, None] * jnp.take(kflat, (gidx * neta + j0 + 1) * ntemp + jtb)
-                + fm[:, :, 1, 0, None] * jnp.take(kflat, (gidx * neta + j1) * ntemp + jtb + 1)
-                + fm[:, :, 1, 1, None] * jnp.take(kflat, (gidx * neta + j1 + 1) * ntemp + jtb + 1)
-            )
+            fm = interp.fminor[:, :, spec.flavor]        # (C,L,2i,2de)
+            ltau = (fm[:, :, 0, 0, None] * slab[:, :, 0, 0]
+                    + fm[:, :, 0, 1, None] * slab[:, :, 0, 1]) + (
+                   fm[:, :, 1, 0, None] * slab[:, :, 1, 0]
+                    + fm[:, :, 1, 1, None] * slab[:, :, 1, 1])
             upd = ltau * scaling[:, :, None]
             tau = jax.lax.dynamic_update_slice_in_dim(
                 tau,
@@ -224,23 +285,27 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
 
 
 def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
-    """Rayleigh scattering optical depth (compute_tau_rayleigh_kernel :674-718)."""
-    ngpt, neta, ntemp = kd.ngpt, kd.neta, kd.ntemp
-    kflat = kd.krayl.reshape(-1)  # (2, ngpt, neta, ntemp)
+    """Rayleigh scattering optical depth (compute_tau_rayleigh_kernel
+    :674-718): 2-row gathers on krayl_rows (itropo*ntemp + jtemp rows)."""
+    dtype = kd.krayl_rows.dtype
+    neta, ntemp = kd.neta, kd.ntemp
+    masks = _flavor_masks(kd, dtype)
+    tropo = interp.tropo
 
-    iflav = _flavor_of_gpt(kd, interp)
+    it = np.arange(2, dtype=np.int32)[None, None, :]
+    rows = (interp.itropo01 * ntemp + interp.jtemp0)[:, :, None] + it
+    slab = jnp.take(kd.krayl_rows, rows, axis=0)      # (C,L,2,E,G)
 
-    gidx = jnp.arange(ngpt, dtype=jnp.int32)[None, None, :]
-    it = interp.itropo01[:, :, None]
-    jt = interp.jtemp0[:, :, None]
-    base = (it * ngpt + gidx) * neta
-
+    e_iota = jnp.arange(neta, dtype=jnp.int32)[None, None, :, None]
     kloc = 0.0
     for i in range(2):
-        je0 = _gather_flav(interp.jeta0[:, :, :, i], iflav)
-        for de in range(2):
-            w = _gather_flav(interp.fminor[:, :, :, i, de], iflav)
-            kloc = kloc + w * jnp.take(kflat, (base + je0 + de) * ntemp + jt + i)
+        je = _resolve_flav_int(interp.jeta0[:, :, :, i], kd, tropo)
+        je_b = je[:, :, None, :]
+        w0 = _resolve_flav(interp.fminor[:, :, :, i, 0], masks, tropo)
+        w1 = _resolve_flav(interp.fminor[:, :, :, i, 1], masks, tropo)
+        w = (w0[:, :, None, :] * (e_iota == je_b).astype(dtype)
+             + w1[:, :, None, :] * (e_iota == je_b + 1).astype(dtype))
+        kloc = kloc + jnp.sum(w * slab[:, :, i], axis=2)
 
     fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
     return kloc * fac
@@ -256,7 +321,8 @@ def combine_abs_and_rayleigh(tau_abs, tau_ray):
 
 def _interp1d_planck(temp, kd: KDist):
     """interpolate1D over totplnk (gas_optics_rrtmgp_kernels.cu:1-13),
-    returning band Planck radiance expanded to g-points: temp.shape + (ngpt,)."""
+    returning band Planck radiance expanded to g-points: temp.shape + (ngpt,).
+    The totplnk lookup is a row gather (rows = temperature bin, width nbnd)."""
     nT = kd.totplnk.shape[0]
     val0 = (temp - kd.temp_ref_min) / kd.totplnk_delta
     ival = val0.astype(jnp.int32)
@@ -265,15 +331,14 @@ def _interp1d_planck(temp, kd: KDist):
     lo = jnp.take(kd.totplnk, idx - 1, axis=0)
     hi = jnp.take(kd.totplnk, idx, axis=0)
     b = lo + frac[..., None] * (hi - lo)   # (..., nbnd)
-    band = np.asarray(kd.gpt2band, dtype=np.int32)
-    return b[..., band]
+    return expand_bands_to_gpt(b, kd.gpt2band)
 
 
 def planck_source(kd: KDist, interp: Interp, tlay, tlev, tsfc,
                   sfc_lay: int) -> SourceFuncLW:
     """Planck_source_kernel (:196-314).  ``sfc_lay`` is the 0-based layer
     adjacent to the surface (static)."""
-    pfrac = _interp3d_gather(kd, kd.planck_frac, interp, scale_by_colmix=False)
+    pfrac = _interp3d_rows(kd, kd.planck_rows, interp, scale_by_colmix=False)
 
     lay_src = pfrac * _interp1d_planck(tlay, kd)
 
