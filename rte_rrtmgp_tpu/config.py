@@ -56,3 +56,18 @@ SOLAR_B_OFFSET = 0.00066696
 # Surface Planck-source Jacobian temperature perturbation
 # (src_kernels_cuda/gas_optics_rrtmgp_kernels_launchers.cu:474).
 DELTA_TSURF = 1.0
+
+
+def use_pallas() -> bool:
+    """Whether to dispatch hot gas-optics interpolation to the Pallas TPU
+    kernels (ops/pallas/).  Default: on when the default backend is a TPU;
+    force with RTE_RRTMGP_PALLAS=1/0."""
+    env = os.environ.get("RTE_RRTMGP_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

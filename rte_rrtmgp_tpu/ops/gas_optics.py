@@ -47,16 +47,47 @@ from .fluxes import expand_bands_to_gpt
 
 @pytree_dataclass
 class Interp:
-    """Interpolation indices/weights (all indices 0-based lower corners)."""
+    """Interpolation indices/weights (all indices 0-based lower corners).
+
+    Per-flavor weight arrays are stored FLAT in the last axis — trailing
+    dims of size 2 would tile onto the TPU's (8, 128) layout with up to
+    256x padding inflation, so (nflav, 2, 2, 2) becomes one axis of
+    nflav*8.  Use the ``jeta0_r/col_mix_r/fminor_r/fmajor_r`` properties
+    for the logical shapes (tests, oracles)."""
 
     jtemp0: object    # (ncol, nlay) int32 in [0, ntemp-2]
     jpress0: object   # (ncol, nlay) int32: 0-based row of jpress (1-based) - 1
     tropo: object     # (ncol, nlay) bool
     itropo01: object  # (ncol, nlay) int32: 0 troposphere / 1 upper
-    jeta0: object     # (ncol, nlay, nflav, 2) int32 in [0, neta-2]
-    col_mix: object   # (ncol, nlay, nflav, 2)
-    fminor: object    # (ncol, nlay, nflav, 2, 2)   [itemp, eta-corner]
-    fmajor: object    # (ncol, nlay, nflav, 2, 2, 2) [itemp, press, eta]
+    jeta0: object     # (ncol, nlay, 2*nflav) int32; index itemp*F + f
+    col_mix: object   # (ncol, nlay, 2*nflav); index itemp*F + f
+    fminor: object    # (ncol, nlay, 4*nflav); index (itemp*2 + deta)*F + f
+    fmajor: object    # (ncol, nlay, 8*nflav); index (itemp*4+dp*2+deta)*F + f
+
+    @property
+    def nflav(self) -> int:
+        return self.jeta0.shape[2] // 2
+
+    # Logical-view reshapes (free at trace time; for tests/oracle parity).
+    def _r(self, a, comps):
+        c, l = a.shape[:2]
+        return jnp.moveaxis(a.reshape((c, l) + comps + (self.nflav,)), -1, 2)
+
+    @property
+    def jeta0_r(self):
+        return self._r(self.jeta0, (2,))
+
+    @property
+    def col_mix_r(self):
+        return self._r(self.col_mix, (2,))
+
+    @property
+    def fminor_r(self):
+        return self._r(self.fminor, (2, 2))
+
+    @property
+    def fmajor_r(self):
+        return self._r(self.fmajor, (2, 2, 2))
 
 
 def _take_small(table, idx):
@@ -128,15 +159,19 @@ def interpolation(kd: KDist, play, tlay, col_gas) -> Interp:
     fp = fpress[:, :, None, None, None]
     fmajor = jnp.stack([(1.0 - fp) * fminor, fp * fminor], axis=-2)  # (...,2,2p,2e)
 
+    ncol, nlay = play.shape
+    # Component-major flat layout: flavor is the minor (contiguous) index so
+    # per-component slices are contiguous (stride-1) lane slices.
+    flat = lambda a: jnp.moveaxis(a, 2, -1).reshape(ncol, nlay, -1)
     return Interp(
         jtemp0=jtemp - 1,
         jpress0=jpress - 1,
         tropo=tropo,
         itropo01=itropo01,
-        jeta0=jeta - 1,
-        col_mix=col_mix,
-        fminor=fminor,
-        fmajor=fmajor,
+        jeta0=flat(jeta - 1),
+        col_mix=flat(col_mix),
+        fminor=flat(fminor),
+        fmajor=flat(fmajor),
     )
 
 
@@ -192,11 +227,22 @@ def _interp3d_rows(kd: KDist, table_rows, interp: Interp, scale_by_colmix):
     """Shared trilinear interpolation over a row-layout table
     ((npress+1)*ntemp, neta, ngpt): the math of
     gas_optical_depths_major_kernel (:398-443) / Planck_source_kernel's
-    pfrac (:262-271), as 4 row gathers + fused one-hot eta contraction."""
+    pfrac (:262-271).
+
+    Two lowerings of the same math:
+    * XLA path: 4 HBM row gathers per (col,lay) + fused one-hot eta
+      contraction (works on any backend, any dtype),
+    * Pallas TPU path (config.use_pallas()): the table stays VMEM-resident
+      and the corner slabs are sliced on-chip (ops/pallas/interp_kernel.py).
+    """
     dtype = table_rows.dtype
     neta = table_rows.shape[1]
     masks = _flavor_masks(kd, dtype)
     tropo = interp.tropo
+
+    if config.use_pallas() and dtype == jnp.float32:
+        return _interp3d_rows_pallas(kd, table_rows, interp, scale_by_colmix,
+                                     masks)
 
     rows = _slab_rows(kd, interp)                    # (C,L,2,2)
     slab = jnp.take(table_rows, rows, axis=0)        # (C,L,2,2,E,G)
@@ -204,22 +250,60 @@ def _interp3d_rows(kd: KDist, table_rows, interp: Interp, scale_by_colmix):
     e_iota = jnp.arange(neta, dtype=jnp.int32)[None, None, :, None]
     out = 0.0
     for i in range(2):
-        je = _resolve_flav_int(interp.jeta0[:, :, :, i], kd, tropo)  # (C,L,G)
+        F = kd.nflav
+        je = _resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd, tropo)
         je_b = je[:, :, None, :]
         sel0 = (e_iota == je_b).astype(dtype)        # (C,L,E,G)
         sel1 = (e_iota == je_b + 1).astype(dtype)
         acc = 0.0
         for dp in range(2):
-            w0 = _resolve_flav(interp.fmajor[:, :, :, i, dp, 0], masks, tropo)
-            w1 = _resolve_flav(interp.fmajor[:, :, :, i, dp, 1], masks, tropo)
+            c0 = (i * 4 + dp * 2) * F
+            w0 = _resolve_flav(interp.fmajor[:, :, c0:c0 + F], masks, tropo)
+            w1 = _resolve_flav(interp.fmajor[:, :, c0 + F:c0 + 2 * F], masks, tropo)
             w = w0[:, :, None, :] * sel0 + w1[:, :, None, :] * sel1
             acc = acc + jnp.sum(w * slab[:, :, i, dp], axis=2)
         if scale_by_colmix:
-            cm = _resolve_flav(interp.col_mix[:, :, :, i], masks, tropo)
+            cm = _resolve_flav(interp.col_mix[:, :, i * F:(i + 1) * F], masks, tropo)
             out = out + cm * acc
         else:
             out = out + acc
     return out
+
+
+def _interp3d_rows_pallas(kd: KDist, table_rows, interp: Interp,
+                          scale_by_colmix, masks):
+    """Pallas lowering of _interp3d_rows (same math, VMEM-resident table)."""
+    from .pallas import interp_rows_pallas
+
+    C, L = interp.tropo.shape
+    neta = table_rows.shape[1]
+    G = table_rows.shape[2]
+    tropo = interp.tropo
+
+    rows = _slab_rows(kd, interp).reshape(C * L, 4)
+
+    F = kd.nflav
+    je = jnp.stack(
+        [_resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd, tropo)
+         for i in range(2)], axis=2)                         # (C,L,2,G)
+
+    fms = []
+    for i in range(2):
+        cm = (_resolve_flav(interp.col_mix[:, :, i * F:(i + 1) * F], masks,
+                            tropo)
+              if scale_by_colmix else None)
+        for dp in range(2):
+            for de in range(2):
+                c0 = (i * 4 + dp * 2 + de) * F
+                w = _resolve_flav(interp.fmajor[:, :, c0:c0 + F], masks, tropo)
+                fms.append(w * cm if cm is not None else w)
+    fm = jnp.stack(fms, axis=2).reshape(C, L, 4, 2, G)       # (C,L,4corner,2de,G)
+
+    out = interp_rows_pallas(
+        table_rows, rows.astype(jnp.int32),
+        je.reshape(C * L, 2, G).astype(jnp.int32),
+        fm.reshape(C * L, 4, 2, G), neta=neta)
+    return out.reshape(C, L, G)
 
 
 def tau_major(kd: KDist, interp: Interp):
@@ -266,16 +350,19 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
             tbl = jax.lax.slice_in_dim(kminor_rows, spec.kminor_start,
                                        spec.kminor_start + ng, axis=2)
             # rows r_i = jeta0[f, i]*ntemp + jtemp0 + i  (i = temperature pair)
-            je = interp.jeta0[:, :, spec.flavor]         # (ncol, nlay, 2)
+            f = spec.flavor
+            F = kd.nflav
+            je = jnp.stack([interp.jeta0[:, :, f],
+                            interp.jeta0[:, :, F + f]], axis=-1)  # (C,L,2)
             it = np.arange(2, dtype=np.int32)[None, None, :]
             rows = je * ntemp + jt[:, :, None] + it      # (ncol, nlay, 2)
             slab = jnp.take(tbl, rows, axis=0)           # (C,L,2i,2de,ng)
 
-            fm = interp.fminor[:, :, spec.flavor]        # (C,L,2i,2de)
-            ltau = (fm[:, :, 0, 0, None] * slab[:, :, 0, 0]
-                    + fm[:, :, 0, 1, None] * slab[:, :, 0, 1]) + (
-                   fm[:, :, 1, 0, None] * slab[:, :, 1, 0]
-                    + fm[:, :, 1, 1, None] * slab[:, :, 1, 1])
+            fm = interp.fminor                           # flat (i*2+de)*F+f
+            ltau = (fm[:, :, 0 * F + f, None] * slab[:, :, 0, 0]
+                    + fm[:, :, 1 * F + f, None] * slab[:, :, 0, 1]) + (
+                   fm[:, :, 2 * F + f, None] * slab[:, :, 1, 0]
+                    + fm[:, :, 3 * F + f, None] * slab[:, :, 1, 1])
             upd = ltau * scaling[:, :, None]
             tau = jax.lax.dynamic_update_slice_in_dim(
                 tau,
@@ -299,10 +386,13 @@ def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
     e_iota = jnp.arange(neta, dtype=jnp.int32)[None, None, :, None]
     kloc = 0.0
     for i in range(2):
-        je = _resolve_flav_int(interp.jeta0[:, :, :, i], kd, tropo)
+        F = kd.nflav
+        je = _resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd, tropo)
         je_b = je[:, :, None, :]
-        w0 = _resolve_flav(interp.fminor[:, :, :, i, 0], masks, tropo)
-        w1 = _resolve_flav(interp.fminor[:, :, :, i, 1], masks, tropo)
+        w0 = _resolve_flav(interp.fminor[:, :, (i * 2) * F:(i * 2 + 1) * F],
+                           masks, tropo)
+        w1 = _resolve_flav(interp.fminor[:, :, (i * 2 + 1) * F:(i * 2 + 2) * F],
+                           masks, tropo)
         w = (w0[:, :, None, :] * (e_iota == je_b).astype(dtype)
              + w1[:, :, None, :] * (e_iota == je_b + 1).astype(dtype))
         kloc = kloc + jnp.sum(w * slab[:, :, i], axis=2)

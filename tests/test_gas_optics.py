@@ -30,10 +30,10 @@ def test_interpolation_matches_oracle(longwave):
     np.testing.assert_array_equal(np.asarray(ji.jtemp0), oi.jtemp - 1)
     np.testing.assert_array_equal(np.asarray(ji.jpress0), oi.jpress - 1)
     np.testing.assert_array_equal(np.asarray(ji.tropo), oi.tropo)
-    np.testing.assert_array_equal(np.asarray(ji.jeta0), oi.jeta - 1)
-    np.testing.assert_allclose(np.asarray(ji.col_mix), oi.col_mix, rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(ji.fminor), oi.fminor, rtol=1e-12, atol=1e-15)
-    np.testing.assert_allclose(np.asarray(ji.fmajor), oi.fmajor, rtol=1e-12, atol=1e-15)
+    np.testing.assert_array_equal(np.asarray(ji.jeta0_r), oi.jeta - 1)
+    np.testing.assert_allclose(np.asarray(ji.col_mix_r), oi.col_mix, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ji.fminor_r), oi.fminor, rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(ji.fmajor_r), oi.fmajor, rtol=1e-12, atol=1e-15)
 
 
 @pytest.mark.parametrize("longwave", [True, False])

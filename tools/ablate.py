@@ -24,16 +24,19 @@ ITERS = 5
 def bench(name, fn, args, probe_key=None):
     fn = jax.jit(fn)
     out = fn(*args)
-    jax.block_until_ready(out)
+    warm = float(list(out.values())[0].reshape(-1)[0])  # compile + sync
+    assert np.isfinite(warm), name
     args = list(args)
+    a0 = args[0]
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for it in range(ITERS):
         out = fn(*args)
-        # data dependency to defeat dispatch dedup
-        args[0] = args[0] + 0.0 * list(out.values())[0].reshape(-1)[0]
-    jax.block_until_ready(out)
+        # value-varying data dependency: defeats dispatch dedup/caching
+        args[0] = a0 + (it + 1) * 1e-6 + 0.0 * list(out.values())[0].reshape(-1)[0]
+    final = float(list(out.values())[0].reshape(-1)[0])  # fetch = real sync
     dt = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{name:44s} {dt:8.2f} ms")
+    assert np.isfinite(final), name
+    print(f"{name:44s} {dt:8.2f} ms", flush=True)
     return dt
 
 
