@@ -27,7 +27,7 @@ import numpy as np
 NCOL = int(os.environ.get("BENCH_NCOL", 2048))
 NLAY = int(os.environ.get("BENCH_NLAY", 72))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
-GPT_CHUNK = os.environ.get("BENCH_GPT_CHUNK", "64")
+GPT_CHUNK = os.environ.get("BENCH_GPT_CHUNK", "128")
 GPT_CHUNK = int(GPT_CHUNK) if GPT_CHUNK not in ("", "none", "None") else None
 
 # Throughput of the first round-1 build measured with *correct* (fetch-
