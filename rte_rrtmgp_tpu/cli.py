@@ -149,18 +149,23 @@ def main(argv=None) -> int:
         out_nc.write(name, np.asarray(arr).transpose(2, 1, 0).reshape(ns, nz, ny, nx),
                      (sdim, zdim, "y", "x"))
 
+    def _sync(out):
+        # Fetch a scalar: on async/tunneled runtimes block_until_ready can
+        # resolve without a device sync, so a host transfer is the only
+        # reliable barrier (same methodology as bench.py).
+        return float(np.asarray(next(iter(out.values()))).ravel()[0])
+
     def run_with_timing(label, f):
         t0 = time.perf_counter()
         out = f()
-        import jax
-        jax.block_until_ready(list(out.values()))
+        _sync(out)
         status.print_message(
             f"Duration {label} solver: {(time.perf_counter()-t0)*1e3:.2f} (ms)")
         if args.timings:
             ts = []
             for _ in range(args.timings):
                 t0 = time.perf_counter()
-                jax.block_until_ready(list(f().values()))
+                _sync(f())
                 ts.append(time.perf_counter() - t0)
             status.print_message(
                 f"{label} timings over {args.timings} runs: "
@@ -168,7 +173,7 @@ def main(argv=None) -> int:
         if args.profiling:
             import jax.profiler
             with jax.profiler.trace("/tmp/rte_rrtmgp_tpu_trace"):
-                jax.block_until_ready(list(f().values()))
+                _sync(f())
             status.print_message("Profiler trace in /tmp/rte_rrtmgp_tpu_trace")
         return out
 

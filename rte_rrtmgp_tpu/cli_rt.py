@@ -37,6 +37,18 @@ def main(argv=None) -> int:
     p.add_argument("--tica", action="store_true",
                    help="tilt columns along the sun ray and solve 1D "
                         "(forces independent-column)")
+    p.add_argument("--longwave", action="store_true",
+                   help="also run the 1D longwave solver (no LW ray "
+                        "tracing, matching the reference)")
+    p.add_argument("--cloud-mie", action="store_true",
+                   help="sample cloud scattering from Mie phase LUTs")
+    p.add_argument("--mie-file", default="mie_lut_broadband.nc")
+    p.add_argument("--single-gpt", type=int, default=None, metavar="G",
+                   help="trace only g-point G (1-based)")
+    p.add_argument("--profiling", action="store_true",
+                   help="wrap one extra solve in a jax.profiler trace")
+    p.add_argument("--coefs-lw", default="coefficients_lw.nc")
+    p.add_argument("--cloud-lw", default="cloud_coefficients_lw.nc")
     p.add_argument("--gpt-chunk", type=int, default=None)
     p.add_argument("--input", default="rte_rrtmgp_input.nc")
     p.add_argument("--output", default="rte_rrtmgp_output.nc")
@@ -92,7 +104,19 @@ def main(argv=None) -> int:
     kd = KDist.from_netcdf(args.coefs_sw, gas_concs.names(), dtype=np.float32)
     alb_dir = np.asarray(inp.read("sfc_alb_dir")).reshape(ncol, kd.nbnd)
     alb_dif = np.asarray(inp.read("sfc_alb_dif")).reshape(ncol, kd.nbnd)
+    emis_sfc = (np.asarray(inp.read("emis_sfc")).reshape(ncol, -1)
+                if inp.has("emis_sfc") else None)
+    t_sfc = (np.asarray(inp.read("t_sfc")).reshape(ncol)
+             if inp.has("t_sfc") else None)
     inp.close()
+
+    mie_cdf = mie_ang = None
+    if args.cloud_mie:
+        # mie_lut_broadband.nc: phase_cdf (nbnd, n_mie) descending, and
+        # phase_cdf_angle (nbnd, n_re, n_mie) (Radiation_solver_rt.cu:652-666).
+        with NcReader(args.mie_file) as mie_nc:
+            mie_cdf = np.asarray(mie_nc.read("phase_cdf"), np.float32)
+            mie_ang = np.asarray(mie_nc.read("phase_cdf_angle"), np.float32)
 
     independent_column = args.independent_column or args.tica
     if args.tica:
@@ -129,7 +153,8 @@ def main(argv=None) -> int:
         # vertical direct beam after tilting
         mu0 = np.ones(ncol)
 
-    solver = RadiationSolverRT(kd, clut, alut)
+    solver = RadiationSolverRT(kd, clut, alut, mie_cdf=mie_cdf,
+                               mie_ang=mie_ang)
     status.print_message(f"Tracing {args.raytracing} photons per pixel.")
     t0 = time.perf_counter()
     import jax
@@ -142,11 +167,51 @@ def main(argv=None) -> int:
         independent_column=independent_column,
         twostream=args.two_stream, raytracing=True,
         delta_cloud=args.delta_cloud, delta_aerosol=args.delta_aerosol,
-        gpt_chunk=args.gpt_chunk, key=jax.random.PRNGKey(args.seed),
+        gpt_chunk=args.gpt_chunk, single_gpt=args.single_gpt,
+        key=jax.random.PRNGKey(args.seed),
         **clouds, **aerosols)
-    jax.block_until_ready(out.rt_flux_tod_up)
+    float(np.asarray(out.rt_flux_tod_up).ravel()[0])  # host fetch = sync
     status.print_message(
         f"Duration solver: {(time.perf_counter()-t0)*1e3:.2f} (ms)")
+    if args.profiling:
+        import jax.profiler
+
+        with jax.profiler.trace("/tmp/rte_rrtmgp_rt_trace"):
+            out_p = solver.solve(
+                gas_concs=gas_concs, p_lay=p_lay, p_lev=p_lev, t_lay=t_lay,
+                mu0=mu0, azi=azi, sfc_alb_dir=alb_dir, sfc_alb_dif=alb_dif,
+                grid_cells=(nz, ny, nx), grid_d=grid_d, kn_grid=kn_grid,
+                photons_per_pixel=args.raytracing,
+                independent_column=independent_column,
+                twostream=args.two_stream, raytracing=True,
+                delta_cloud=args.delta_cloud, delta_aerosol=args.delta_aerosol,
+                gpt_chunk=args.gpt_chunk, single_gpt=args.single_gpt,
+                key=jax.random.PRNGKey(args.seed), **clouds, **aerosols)
+            float(np.asarray(out_p.rt_flux_tod_up).ravel()[0])
+        status.print_message("Profiler trace in /tmp/rte_rrtmgp_rt_trace")
+
+    lw_out = None
+    if args.longwave:
+        # 1D longwave on the same columns ("no longwave radiation implemented
+        # in the ray tracer, yet" — test_rte_rrtmgp_rt.cu:279; the reference
+        # runs the standard per-g-point 1D solve).
+        from .models import RadiationSolverLW
+
+        status.print_message("Solving the longwave radiation (1D).")
+        kd_lw = KDist.from_netcdf(args.coefs_lw, gas_concs.names(),
+                                  dtype=np.float32)
+        clut_lw = (CloudLUT.from_netcdf(args.cloud_lw, dtype=np.float32)
+                   if args.cloud_optics else None)
+        if emis_sfc is None:
+            emis_sfc = np.full((ncol, kd_lw.nbnd), 0.98, np.float32)
+        if t_sfc is None:
+            t_sfc = t_lev[:, 0].copy()
+        lw_solver = RadiationSolverLW(kd_lw, clut_lw)
+        lw_out = lw_solver.solve(
+            gas_concs=gas_concs, p_lay=p_lay, p_lev=p_lev, t_lay=t_lay,
+            t_lev=t_lev, t_sfc=t_sfc, emis_sfc=emis_sfc,
+            gpt_chunk=args.gpt_chunk, **clouds)
+        float(np.asarray(lw_out["lw_flux_up"]).ravel()[0])
 
     status.print_message("Writing output.")
     with NcWriter(args.output) as w:
@@ -164,6 +229,10 @@ def main(argv=None) -> int:
         if args.two_stream:
             for name in ("sw_flux_up", "sw_flux_dn", "sw_flux_dn_dir"):
                 arr = np.asarray(getattr(out, name))  # (ncol, nlev)
+                w.write(name, arr.T.reshape(nlev, ny, nx), ("lev", "y", "x"))
+        if lw_out is not None:
+            for name in ("lw_flux_up", "lw_flux_dn", "lw_flux_net"):
+                arr = np.asarray(lw_out[name])
                 w.write(name, arr.T.reshape(nlev, ny, nx), ("lev", "y", "x"))
     status.print_message("Finished.")
     return 0

@@ -52,16 +52,18 @@ class RTFluxes(NamedTuple):
 @functools.partial(jax.jit, static_argnames=(
     "grid_cells", "photons_per_pixel", "kn_grid", "independent_column",
     "gpt_chunk", "with_twostream", "with_raytracing", "with_clouds",
-    "with_aerosols", "delta_cloud", "delta_aerosol"))
+    "with_aerosols", "delta_cloud", "delta_aerosol", "with_mie"))
 def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
                    p_lay, p_lev, t_lay, vmr, col_dry,
                    sfc_alb_dir, sfc_alb_dif, tsi_scaling, mu0, azi,
                    lwp, iwp, rel, dei, rh, aermr, grid_d,
+                   mie_cdf, mie_ang,
                    *, grid_cells, kn_grid, photons_per_pixel: int,
                    independent_column: bool, gpt_chunk,
                    with_twostream: bool, with_raytracing: bool,
                    with_clouds: bool, with_aerosols: bool,
-                   delta_cloud: bool, delta_aerosol: bool):
+                   delta_cloud: bool, delta_aerosol: bool,
+                   with_mie: bool = False):
     nz, ny, nx = grid_cells
     ncol, nlay = p_lay.shape
     dtype = p_lay.dtype
@@ -216,11 +218,19 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
 
         tod_dir = solar_g * tsi_scaling[0] * mu0_safe[0]
         key_g = jax.random.fold_in(key, igpt)
+        mie_kw = {}
+        if with_mie:
+            # Per-band Mie phase-function subset (the reference's
+            # mie_cdfs.subset per band, Radiation_solver_rt.cu:921-935).
+            bidx = jnp.asarray(band, jnp.int32)
+            mie_kw = dict(
+                mie_cdf=jnp.take(mie_cdf, bidx, axis=0, mode="clip"),
+                mie_ang=jnp.take(mie_ang, bidx, axis=0, mode="clip"))
         out = rt.trace_rays(
             key_g, k[0], k[1], k[2], k[3], k[4], k[5], rel3d, alb_band,
             kn_grid, grid_d, tod_dir, jnp.zeros((), dtype), sun_dir,
             photons_per_pixel=photons_per_pixel,
-            independent_column=independent_column)
+            independent_column=independent_column, **mie_kw)
 
         acc = tuple(a + b for a, b in zip(acc, (
             out.flux_toa_down, out.flux_tod_up, out.flux_sfc_dir,
@@ -260,6 +270,7 @@ class RadiationSolverRT:
               independent_column: bool = False, raytracing: bool = True,
               twostream: bool = False, delta_cloud: bool = False,
               delta_aerosol: bool = False, gpt_chunk: Optional[int] = None,
+              single_gpt: Optional[int] = None,
               key=None, dtype=None) -> RTFluxes:
         """grid_cells = (nz, ny, nx); grid_d = (dz, dy, dx) in meters.
 
@@ -267,13 +278,17 @@ class RadiationSolverRT:
         p_lay[:, 0] > p_lay[:, -1]).
         """
         dtype = dtype or np.float32
+        kd = self.kdist
+        if single_gpt is not None:
+            # Reference --single-gpt: trace one g-point only (1-based).
+            kd = kd.slice_gpt(single_gpt - 1, single_gpt)
         p = np.asarray(p_lay)
         assert p[0, 0] > p[0, -1], "RT solver expects surface at layer 0"
         ncol, nlay = p.shape
         nz, ny, nx = grid_cells
         assert ncol == ny * nx and nz <= nlay
 
-        vmr = gas_concs.materialize(self.kdist.gas_names, ncol, nlay, dtype=dtype)
+        vmr = gas_concs.materialize(kd.gas_names, ncol, nlay, dtype=dtype)
         if col_dry is None:
             h2o = gas_concs.expand("h2o", ncol, nlay)
             col_dry = np.asarray(gas_ops.get_col_dry(
@@ -288,8 +303,14 @@ class RadiationSolverRT:
         with_aerosols = aermr is not None
         zeros = jnp.zeros((ncol, nlay), dtype)
         zeros3 = jnp.zeros((ncol, nlay, 11), dtype)
+        with_mie = self.mie_cdf is not None
+        nbnd = kd.nbnd
+        mie_cdf = (jnp.asarray(self.mie_cdf, dtype) if with_mie
+                   else jnp.zeros((nbnd, 1), dtype))
+        mie_ang = (jnp.asarray(self.mie_ang, dtype) if with_mie
+                   else jnp.zeros((nbnd, 1, 1), dtype))
         return _solve_rt_impl(
-            self.kdist, self.cloud_lut, self.aerosol_lut, key,
+            kd, self.cloud_lut, self.aerosol_lut, key,
             cast(p_lay), cast(p_lev), cast(t_lay), cast(vmr), cast(col_dry),
             cast(sfc_alb_dir), cast(sfc_alb_dif), cast(tsi_scaling),
             cast(mu0), cast(azi),
@@ -299,10 +320,11 @@ class RadiationSolverRT:
             cast(dei) if with_clouds else zeros,
             cast(rh) if with_aerosols else zeros,
             cast(aermr) if with_aerosols else zeros3,
-            jnp.asarray(grid_d, dtype),
+            jnp.asarray(grid_d, dtype), mie_cdf, mie_ang,
             grid_cells=tuple(grid_cells), kn_grid=tuple(kn_grid),
             photons_per_pixel=photons_per_pixel,
             independent_column=independent_column, gpt_chunk=gpt_chunk,
             with_twostream=twostream, with_raytracing=raytracing,
             with_clouds=with_clouds, with_aerosols=with_aerosols,
-            delta_cloud=delta_cloud, delta_aerosol=delta_aerosol)
+            delta_cloud=delta_cloud, delta_aerosol=delta_aerosol,
+            with_mie=with_mie)

@@ -299,10 +299,13 @@ def _interp3d_rows_pallas(kd: KDist, table_rows, interp: Interp,
                 fms.append(w * cm if cm is not None else w)
     fm = jnp.stack(fms, axis=2).reshape(C, L, 4, 2, G)       # (C,L,4corner,2de,G)
 
+    import os
+
+    block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
     out = interp_rows_pallas(
         table_rows, rows.astype(jnp.int32),
         je.reshape(C * L, 2, G).astype(jnp.int32),
-        fm.reshape(C * L, 4, 2, G), neta=neta)
+        fm.reshape(C * L, 4, 2, G), neta=neta, block=block)
     return out.reshape(C, L, G)
 
 

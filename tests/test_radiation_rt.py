@@ -83,3 +83,52 @@ def test_cloudy_mc(setup):
     assert (np.asarray(out.rt_flux_tod_up).mean()
             > np.asarray(clear.rt_flux_tod_up).mean())
     assert np.isfinite(np.asarray(out.rt_flux_abs_dif)).all()
+
+
+def test_cloud_mie_sampling(setup):
+    """Mie phase LUT wiring: cloudy solve with per-band Mie tables runs,
+    stays finite, and conserves energy (reference --cloud-mie,
+    Radiation_solver_rt.cu:921-935)."""
+    kd, clut, atm = setup
+    ncol = NY * NX
+    raw = synthetic.make_mie_raw(nbnd=kd.nbnd)
+    lwp = np.zeros((ncol, NLAY)); lwp[:, 3:6] = 20.0
+    iwp = np.zeros((ncol, NLAY))
+    rel = np.full((ncol, NLAY), 10.0)
+    dei = np.full((ncol, NLAY), 30.0)
+
+    def run(mie):
+        solver = RadiationSolverRT(
+            kd, clut,
+            mie_cdf=raw["phase_cdf"] if mie else None,
+            mie_ang=raw["phase_cdf_angle"] if mie else None)
+        return solver.solve(
+            gas_concs=atm["gas_concs"], p_lay=atm["p_lay"], p_lev=atm["p_lev"],
+            t_lay=atm["t_lay"], mu0=np.full(ncol, 0.8), azi=np.zeros(ncol),
+            sfc_alb_dir=np.full((ncol, kd.nbnd), 0.06),
+            sfc_alb_dif=np.full((ncol, kd.nbnd), 0.06),
+            grid_cells=(NZ, NY, NX), grid_d=(DZ, 1000.0, 1000.0),
+            kn_grid=(4, 2, 2), photons_per_pixel=32,
+            lwp=lwp, iwp=iwp, rel=rel, dei=dei)
+
+    out = run(mie=True)
+    tod_dn = np.asarray(out.rt_flux_tod_dn).mean()
+    tod_up = np.asarray(out.rt_flux_tod_up).mean()
+    sfc = (np.asarray(out.rt_flux_sfc_dir) + np.asarray(out.rt_flux_sfc_dif)).mean()
+    absorbed = (np.asarray(out.rt_flux_abs_dir).sum(0)
+                + np.asarray(out.rt_flux_abs_dif).sum(0)).mean() * DZ
+    sfc_up = np.asarray(out.rt_flux_sfc_up).mean()
+    budget = tod_up + sfc - sfc_up + absorbed
+    assert np.isfinite(budget)
+    assert abs(budget - tod_dn) / tod_dn < 0.08, (budget, tod_dn)
+
+
+def test_single_gpt(setup):
+    """--single-gpt traces exactly one g-point (fluxes ~ that g-point's
+    solar source only)."""
+    kd, clut, atm = setup
+    out1 = _solve(kd, clut, atm, single_gpt=1, photons_per_pixel=32)
+    toa1 = np.asarray(out1.rt_flux_tod_dn).mean()
+    solar = np.asarray(kd.solar_source)
+    expected = float(solar[0]) * 0.8  # tod_dir = solar * tsi * mu0
+    assert abs(toa1 - expected) / expected < 1e-3, (toa1, expected)
