@@ -30,8 +30,17 @@ def main(argv=None) -> int:
     p.add_argument("--bw-raytracing", type=int, default=16,
                    help="photons per pixel")
     p.add_argument("--cloud-optics", action="store_true")
+    p.add_argument("--liq-cloud-optics", action="store_true",
+                   help="liquid-only cloud optics")
+    p.add_argument("--ice-cloud-optics", action="store_true",
+                   help="ice-only cloud optics")
     p.add_argument("--aerosol-optics", action="store_true")
     p.add_argument("--delta-cloud", action="store_true")
+    p.add_argument("--delta-aerosol", action="store_true")
+    p.add_argument("--cloud-cam", action="store_true",
+                   help="accumulate per-pixel cloud water/optical-depth "
+                        "images along the camera rays")
+    p.add_argument("--profiling", action="store_true")
     p.add_argument("--n-sub", type=int, default=3)
     p.add_argument("--gpt-chunk", type=int, default=None)
     p.add_argument("--input", default="rte_rrtmgp_input.nc")
@@ -84,12 +93,20 @@ def main(argv=None) -> int:
     kd = KDist.from_netcdf(args.coefs_sw, gas_concs.names(), dtype=np.float32)
     sfc_alb = np.asarray(inp.read("sfc_alb_dir")).reshape(ncol, kd.nbnd)
 
+    with_any_cloud = (args.cloud_optics or args.liq_cloud_optics
+                      or args.ice_cloud_optics or args.cloud_cam)
     clouds = {}
     clut = None
-    if args.cloud_optics:
+    if with_any_cloud:
         clut = CloudLUT.from_netcdf(args.cloud_sw, dtype=np.float32)
         for k in ("lwp", "iwp", "rel", "dei"):
             clouds[k] = _read_field(inp, k, nlay, ncol)
+        # Phase-restricted optics: zeroing the other water path disables its
+        # contribution exactly (tau is proportional to the path).
+        if args.liq_cloud_optics and not args.cloud_optics:
+            clouds["iwp"] = np.zeros_like(clouds["iwp"])
+        if args.ice_cloud_optics and not args.cloud_optics:
+            clouds["lwp"] = np.zeros_like(clouds["lwp"])
     alut = None
     aerosols = {}
     if args.aerosol_optics:
@@ -101,6 +118,10 @@ def main(argv=None) -> int:
         aerosols["aermr"] = aermr
     inp.close()
 
+    solve_clouds = dict(clouds)
+    if not (args.cloud_optics or args.liq_cloud_optics
+            or args.ice_cloud_optics):
+        solve_clouds = {}
     solver = RadiationSolverBW(kd, clut, alut)
     mode = "image" if args.image else "broadband"
     status.print_message(f"Rendering ({mode}, {args.bw_raytracing} photons/pixel).")
@@ -112,9 +133,50 @@ def main(argv=None) -> int:
         camera=camera, grid_cells=(nz, ny, nx), grid_d=grid_d,
         kn_grid=kn_grid, z_lev=z_lev, photons_per_pixel=args.bw_raytracing,
         mode=mode, n_sub=args.n_sub, delta_cloud=args.delta_cloud,
-        gpt_chunk=args.gpt_chunk, **clouds, **aerosols)
+        delta_aerosol=args.delta_aerosol,
+        gpt_chunk=args.gpt_chunk, **solve_clouds, **aerosols)
+    float(np.asarray(out["radiance"]).ravel()[0])  # host fetch = sync
     status.print_message(
         f"Duration renderer: {(time.perf_counter()-t0)*1e3:.2f} (ms)")
+
+    cloud_cam_out = None
+    if args.cloud_cam:
+        # Reference: visible-band (441-615 nm) cloud optics accumulated per
+        # camera pixel (Radiation_solver_bw.cu:1082-1103).
+        import jax.numpy as jnp
+        from .models.raytracer_bw import accumulate_clouds
+        from .ops import cloud_optics as cloud_ops
+
+        band = int(np.argmin([abs(0.5 * (lo + hi) - 1.0e7 / 520.0)
+                              for lo, hi in kd.band_lims_wvn]))
+        cld = cloud_ops.cloud_optics_2str(
+            clut, jnp.asarray(clouds["lwp"], jnp.float32),
+            jnp.asarray(clouds["iwp"], jnp.float32),
+            jnp.asarray(clouds["rel"], jnp.float32),
+            jnp.asarray(clouds["dei"], jnp.float32))
+        tau_vis = np.asarray(cld.tau)[:, :, band]          # (ncol, nlay)
+        to3d = lambda a: np.asarray(a)[:, :nz].T.reshape(nz, ny, nx)
+        cloud_cam_out = accumulate_clouds(
+            camera, grid_d, (nz, ny, nx),
+            jnp.asarray(to3d(clouds["lwp"]), jnp.float32),
+            jnp.asarray(to3d(clouds["iwp"]), jnp.float32),
+            jnp.asarray(to3d(tau_vis), jnp.float32))
+
+    if args.profiling:
+        import jax.profiler
+
+        with jax.profiler.trace("/tmp/rte_rrtmgp_bw_trace"):
+            out_p = solver.solve(
+                gas_concs=gas_concs, p_lay=p_lay, p_lev=p_lev, t_lay=t_lay,
+                mu0=mu0, azi=azi, sfc_alb=sfc_alb, land_use_map=land_use,
+                camera=camera, grid_cells=(nz, ny, nx), grid_d=grid_d,
+                kn_grid=kn_grid, z_lev=z_lev,
+                photons_per_pixel=args.bw_raytracing,
+                mode=mode, n_sub=args.n_sub, delta_cloud=args.delta_cloud,
+                delta_aerosol=args.delta_aerosol,
+                gpt_chunk=args.gpt_chunk, **solve_clouds, **aerosols)
+            float(np.asarray(out_p["radiance"]).ravel()[0])
+        status.print_message("Profiler trace in /tmp/rte_rrtmgp_bw_trace")
 
     with NcWriter(args.output) as w:
         w.def_dim("x", camera.nx)
@@ -125,6 +187,17 @@ def main(argv=None) -> int:
                     attrs={"long_name": "XYZ tristimulus values"})
         w.write("radiance", np.asarray(out["radiance"]), ("y", "x"),
                 attrs={"long_name": "shortwave radiance"})
+        if cloud_cam_out is not None:
+            liwp, tauc, dist, zen = cloud_cam_out
+            w.write("liq_ice_wp_cam", np.asarray(liwp), ("y", "x"),
+                    attrs={"long_name": "accumulated liquid+ice water path"})
+            w.write("tau_cld_cam", np.asarray(tauc), ("y", "x"),
+                    attrs={"long_name":
+                           "accumulated cloud optical depth (vis band)"})
+            w.write("dist_cld_cam", np.asarray(dist), ("y", "x"),
+                    attrs={"long_name": "distance to first cloudy cell"})
+            w.write("zen_cam", np.asarray(zen), ("y", "x"),
+                    attrs={"long_name": "camera ray zenith angle"})
     status.print_message("Finished.")
     return 0
 

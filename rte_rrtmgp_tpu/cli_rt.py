@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     p.add_argument("--two-stream", action="store_true")
     p.add_argument("--independent-column", action="store_true")
     p.add_argument("--cloud-optics", action="store_true")
+    p.add_argument("--liq-cloud-optics", action="store_true")
+    p.add_argument("--ice-cloud-optics", action="store_true")
     p.add_argument("--aerosol-optics", action="store_true")
     p.add_argument("--delta-cloud", action="store_true")
     p.add_argument("--delta-aerosol", action="store_true")
@@ -87,10 +89,18 @@ def main(argv=None) -> int:
 
     clouds = {}
     clut = None
-    if args.cloud_optics:
+    if args.cloud_optics or args.liq_cloud_optics or args.ice_cloud_optics:
+        if args.cloud_mie and (args.cloud_optics or args.ice_cloud_optics):
+            raise SystemExit("--cloud-mie requires liquid-only cloud optics "
+                             "(reference: 'Thou shall not use mie tables as "
+                             "long as ice optics are enabled')")
         clut = CloudLUT.from_netcdf(args.cloud_sw, dtype=np.float32)
         for k in ("lwp", "iwp", "rel", "dei"):
             clouds[k] = _read_field(inp, k, nlay, ncol)
+        if args.liq_cloud_optics and not args.cloud_optics:
+            clouds["iwp"] = np.zeros_like(clouds["iwp"])
+        if args.ice_cloud_optics and not args.cloud_optics:
+            clouds["lwp"] = np.zeros_like(clouds["lwp"])
     alut = None
     aerosols = {}
     if args.aerosol_optics:
@@ -201,7 +211,7 @@ def main(argv=None) -> int:
         kd_lw = KDist.from_netcdf(args.coefs_lw, gas_concs.names(),
                                   dtype=np.float32)
         clut_lw = (CloudLUT.from_netcdf(args.cloud_lw, dtype=np.float32)
-                   if args.cloud_optics else None)
+                   if clouds else None)
         if emis_sfc is None:
             emis_sfc = np.full((ncol, kd_lw.nbnd), 0.98, np.float32)
         if t_sfc is None:

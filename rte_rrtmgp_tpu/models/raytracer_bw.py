@@ -585,3 +585,125 @@ def trace_rays_bw(key, camera: Camera,
 def count_to_radiance(count, toa_src, toa_factor, photons_per_pixel):
     """count_to_flux_2d (Raytracer_bw.cu:275-289)."""
     return count * (toa_src * toa_factor / photons_per_pixel)
+
+
+def accumulate_clouds(camera: Camera, grid_d, grid_cells,
+                      lwp3d, iwp3d, tau_cloud3d, dtype=jnp.float32):
+    """Per-camera-pixel cloud columns along the view ray (the reference's
+    ``accumulate_clouds_kernel``, raytracer_kernels_bw.cu:773-889, driven by
+    the --cloud-cam flag): deterministic pixel-center rays marched cell by
+    cell through the 3D domain, accumulating
+
+    * liwp_cam: path-weighted liquid+ice water (g m-2 equivalents / dz),
+    * tauc_cam: path-weighted cloud optical depth / dz,
+    * dist_cam: distance to the first cloudy cell (-1 if none met),
+    * zen_cam:  the ray zenith angle.
+
+    lwp3d/iwp3d/tau_cloud3d: (nz, ny, nx) per-cell fields; returns four
+    (ny, nx) images (camera pixel raster)."""
+    nz, ny, nx = grid_cells
+    dz, dy, dx = (float(grid_d[0]), float(grid_d[1]), float(grid_d[2]))
+    size = (nx * dx, ny * dy, nz * dz)
+    size_x, size_y, size_z = size
+    eps = config.eps(jnp.zeros((), dtype).dtype)
+    s_eps = max(size) * eps
+
+    npix = camera.npix
+    # Deterministic pixel-center rays: reuse _camera_rays with a fixed key
+    # but replace the stratified jitter with centers via ppp=1 + zero key.
+    pixi = jnp.arange(npix, dtype=jnp.int32)
+    i = ((pixi % camera.nx).astype(dtype) + 0.5) / camera.nx
+    j = ((pixi // camera.nx).astype(dtype) + 0.5) / camera.ny
+
+    if camera.cam_type == 0:
+        mx, my, mz = camera.rotation()
+        zen = i * 0.5 * np.deg2rad(camera.fov)
+        azi = j * 2.0 * np.pi
+        dt = jnp.stack([jnp.cos(zen), jnp.sin(zen) * jnp.cos(azi),
+                        jnp.sin(zen) * jnp.sin(azi)], axis=1)
+        M = jnp.asarray(np.stack([mx, my, mz]), dtype)
+        direction = dt @ M.T
+        pos = jnp.broadcast_to(jnp.asarray(camera.position, dtype)[None, :],
+                               (npix, 3))
+    elif camera.cam_type == 1:
+        w, h, d = camera.rect_basis()
+        direction = ((2.0 * i - 1.0)[:, None] * jnp.asarray(w, dtype)[None, :]
+                     + (2.0 * j - 1.0)[:, None] * jnp.asarray(h, dtype)[None, :]
+                     + jnp.asarray(d, dtype)[None, :])
+        direction = direction / jnp.linalg.norm(direction, axis=1,
+                                                keepdims=True)
+        pos = jnp.broadcast_to(jnp.asarray(camera.position, dtype)[None, :],
+                               (npix, 3))
+    else:
+        direction = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, -1.0], dtype)[None, :], (npix, 3))
+        pos = jnp.stack([i * size_x, j * size_y,
+                         jnp.full((npix,), size_z - 2 * s_eps, dtype)], axis=1)
+
+    # Bring rays above the domain down to its top.
+    pos = pos.astype(dtype)
+    direction = direction.astype(dtype)
+    above = (pos[:, 2] >= size_z - s_eps) & (direction[:, 2] < 0)
+    ds = jnp.abs((pos[:, 2] - size_z)
+                 / jnp.where(direction[:, 2] == 0, -1.0, direction[:, 2]))
+    pos_adj = pos + direction * ds[:, None] - s_eps
+    pos = jnp.where(above[:, None], pos_adj, pos)
+    pos = pos.at[:, 0].set(jnp.mod(pos[:, 0], size_x))
+    pos = pos.at[:, 1].set(jnp.mod(pos[:, 1], size_y))
+
+    lw = (lwp3d + iwp3d).reshape(-1)
+    tc = tau_cloud3d.reshape(-1)
+
+    def cell(p, d, n):
+        return jnp.clip((p / d).astype(jnp.int32), 0, n - 1)
+
+    def cond(c):
+        pos, *_ , alive, step = c
+        return jnp.logical_and(jnp.any(alive), step < 4 * (nx + ny + nz))
+
+    def body(c):
+        pos, liwp, tauc, dist, reached, alive, step = c
+        ci = cell(pos[:, 0], dx, nx)
+        cj = cell(pos[:, 1], dy, ny)
+        ck = cell(pos[:, 2], dz, nz)
+        ijk = (ck * ny + cj) * nx + ci
+
+        def bdist(p, d, idx, dcell):
+            hi = (idx + 1).astype(dtype) * dcell
+            lo = idx.astype(dtype) * dcell
+            return jnp.abs(jnp.where(d > 0, hi - p, lo - p)
+                           / jnp.where(d == 0, eps, d))
+
+        sx = bdist(pos[:, 0], direction[:, 0], ci, dx)
+        sy = bdist(pos[:, 1], direction[:, 1], cj, dy)
+        sz = bdist(pos[:, 2], direction[:, 2], ck, dz)
+        s = jnp.minimum(sx, jnp.minimum(sy, sz))
+
+        m = alive.astype(dtype)
+        liwp = liwp + m * s * lw[ijk]
+        tauc = tauc + m * s * tc[ijk]
+        dist = dist + m * (1.0 - reached.astype(dtype)) * s
+        reached = reached | (alive & (tc[ijk] > 0))
+
+        newpos = pos + direction * s[:, None]
+        newpos = newpos + jnp.where(direction >= 0, s_eps, -s_eps)
+        newpos = newpos.at[:, 0].set(jnp.mod(newpos[:, 0], size_x))
+        newpos = newpos.at[:, 1].set(jnp.mod(newpos[:, 1], size_y))
+        pos = jnp.where(alive[:, None], newpos, pos)
+        alive = alive & (pos[:, 2] <= size_z - s_eps) & (pos[:, 2] >= s_eps)
+        return pos, liwp, tauc, dist, reached, alive, step + 1
+
+    zeros = jnp.zeros(npix, dtype)
+    alive0 = (pos[:, 2] <= size_z - s_eps) & (pos[:, 2] >= s_eps)
+    pos, liwp, tauc, dist, reached, alive, _ = jax.lax.while_loop(
+        cond, body,
+        (pos, zeros, zeros, zeros, jnp.zeros(npix, bool), alive0,
+         jnp.zeros((), jnp.int32)))
+
+    shape = (camera.ny, camera.nx)
+    return (
+        (liwp / dz).reshape(shape),
+        (tauc / dz).reshape(shape),
+        jnp.where(reached, dist, -1.0).reshape(shape),
+        jnp.arccos(jnp.clip(direction[:, 2], -1.0, 1.0)).reshape(shape),
+    )
