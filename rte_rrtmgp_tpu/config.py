@@ -60,14 +60,20 @@ DELTA_TSURF = 1.0
 
 def use_pallas() -> bool:
     """Whether to dispatch hot gas-optics interpolation to the Pallas TPU
-    kernels (ops/pallas/).  Default: on when the default backend is a TPU;
-    force with RTE_RRTMGP_PALLAS=1/0."""
+    kernels (ops/pallas/).  Default: on for single-chip TPU execution;
+    force with RTE_RRTMGP_PALLAS=1/0.
+
+    Multi-device runs default to the pure-XLA path: a pallas_call is a
+    custom call the SPMD partitioner cannot split over a sharded mesh (it
+    would need an explicit shard_map wrapper, which the ops layer cannot
+    apply without knowing the caller's mesh)."""
     env = os.environ.get("RTE_RRTMGP_PALLAS")
     if env is not None:
         return env not in ("0", "false", "off")
     try:
         import jax
 
-        return jax.default_backend() == "tpu"
+        return (jax.default_backend() == "tpu"
+                and jax.device_count() == 1)
     except Exception:
         return False

@@ -238,6 +238,30 @@ class _SolverBase:
         self.cloud_lut = cloud_lut
         self.aerosol_lut = aerosol_lut
 
+    def _validate(self, p_lay, p_lev, t_lay, t_lev=None, t_sfc=None,
+                  col_dry=None):
+        """Host-side input range checks against the k-table bounds — the
+        reference throws std::range_error on out-of-range inputs
+        (src/Gas_optics_rrtmgp.cpp:813-827)."""
+        kd = self.kdist
+
+        def outside(a, lo, hi, name):
+            a = np.asarray(a)
+            if a.size and ((a < lo).any() or (a > hi).any()):
+                raise ValueError(
+                    f"{name} is out of range [{lo:g}, {hi:g}] "
+                    f"(min {a.min():g}, max {a.max():g})")
+
+        outside(p_lay, kd.press_ref_min, kd.press_ref_max, "p_lay")
+        outside(p_lev, kd.press_ref_min, kd.press_ref_max, "p_lev")
+        outside(t_lay, kd.temp_ref_min, kd.temp_ref_max, "t_lay")
+        if t_lev is not None:
+            outside(t_lev, kd.temp_ref_min, kd.temp_ref_max, "t_lev")
+        if t_sfc is not None:
+            outside(t_sfc, kd.temp_ref_min, kd.temp_ref_max, "t_sfc")
+        if col_dry is not None and (np.asarray(col_dry) < 0).any():
+            raise ValueError("col_dry is out of range (negative values)")
+
     def _prep(self, gas_concs: GasConcs, p_lay, p_lev, dtype):
         ncol, nlay = np.asarray(p_lay).shape
         vmr = gas_concs.materialize(self.kdist.gas_names, ncol, nlay, dtype=dtype)
@@ -265,13 +289,16 @@ class RadiationSolverLW(_SolverBase):
               emis_sfc, col_dry=None, lwp=None, iwp=None, rel=None, dei=None,
               gpt_chunk: Optional[int] = None, output_bnd_fluxes: bool = False,
               n_gauss_angles: int = 1, dtype=None,
-              output_optical: bool = False, with_fluxes: bool = True) -> dict:
+              output_optical: bool = False, with_fluxes: bool = True,
+              check_inputs: bool = True) -> dict:
         """emis_sfc: (ncol, nbnd) surface emissivity per band.
 
         Cloud fields (lwp/iwp in g m-2, rel/dei in micron) enable the
         cloudy-sky path when provided.
         """
         dtype = dtype or jnp.asarray(p_lay).dtype
+        if check_inputs:
+            self._validate(p_lay, p_lev, t_lay, t_lev, t_sfc, col_dry)
         top_at_1 = self._detect_top(p_lay)
         with_clouds = lwp is not None
         vmr = self._prep(gas_concs, p_lay, p_lev, dtype)
@@ -302,9 +329,11 @@ class RadiationSolverSW(_SolverBase):
               gpt_chunk: Optional[int] = None, output_bnd_fluxes: bool = False,
               delta_cloud: bool = False, delta_aerosol: bool = False,
               dtype=None, output_optical: bool = False,
-              with_fluxes: bool = True) -> dict:
+              with_fluxes: bool = True, check_inputs: bool = True) -> dict:
         """sfc_alb_*: (ncol, nbnd); mu0: (ncol,); aermr: (ncol, nlay, 11)."""
         dtype = dtype or jnp.asarray(p_lay).dtype
+        if check_inputs:
+            self._validate(p_lay, p_lev, t_lay, col_dry=col_dry)
         top_at_1 = self._detect_top(p_lay)
         with_clouds = lwp is not None
         with_aerosols = aermr is not None
