@@ -56,15 +56,21 @@ def main():
     assert np.isfinite(warm)
 
     # Chain iterations through a value-varying data dependency; sync by
-    # fetching a scalar at the end (see module docstring).
+    # fetching a scalar at the end (see module docstring).  Three batches,
+    # best taken: the tunneled runtime occasionally injects multi-second
+    # stalls unrelated to device time.
     t_lay0 = args[2]
-    t0 = time.perf_counter()
-    for it in range(ITERS):
-        out = fn(*args)
-        args[2] = t_lay0 + (it + 1) * 1e-5 + 0.0 * out["lw_flux_up"][:, :NLAY]
-    final = float(out["lw_flux_up"].sum() + out["sw_flux_dn"].sum())
-    dt = time.perf_counter() - t0
-    assert np.isfinite(final), final
+    batch_dts = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for it in range(ITERS):
+            out = fn(*args)
+            args[2] = (t_lay0 + (rep * ITERS + it + 1) * 1e-5
+                       + 0.0 * out["lw_flux_up"][:, :NLAY])
+        final = float(out["lw_flux_up"].sum() + out["sw_flux_dn"].sum())
+        assert np.isfinite(final), final
+        batch_dts.append(time.perf_counter() - t0)
+    dt = min(batch_dts)
 
     ngpt_total = kd_lw.ngpt + kd_sw.ngpt
     colgpt_per_s = NCOL * ngpt_total * ITERS / dt

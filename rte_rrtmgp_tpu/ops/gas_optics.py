@@ -324,6 +324,7 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
     """
     dtype = play.dtype
     ntemp = kd.ntemp
+    C, L, G = tau.shape
 
     for lower, specs, kminor_rows in (
         (True, kd.minor_lower, kd.kminor_lower_rows),
@@ -334,6 +335,14 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
         mask = interp.tropo if lower else jnp.logical_not(interp.tropo)
         maskf = mask.astype(dtype)
         jt = interp.jtemp0  # (ncol, nlay)
+
+        # Assemble per-interval contributions into overlap "layers" of
+        # disjoint g-ranges, stitched with zero fills and added to tau as
+        # whole (ncol, nlay, ngpt) planes: per-spec dynamic_update_slice
+        # chains cost a full tau copy per interval on TPU.  Greedy first-fit
+        # in spec order keeps the per-g-point addition order identical to
+        # the sequential reference loop.
+        layers = []  # list of list[(g0, g1, upd)]
 
         for spec in specs:
             scaling = col_gas[:, :, spec.idx_minor]
@@ -367,10 +376,27 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
                    fm[:, :, 2 * F + f, None] * slab[:, :, 1, 0]
                     + fm[:, :, 3 * F + f, None] * slab[:, :, 1, 1])
             upd = ltau * scaling[:, :, None]
-            tau = jax.lax.dynamic_update_slice_in_dim(
-                tau,
-                jax.lax.slice_in_dim(tau, spec.gpt_start, spec.gpt_end, axis=2) + upd,
-                spec.gpt_start, axis=2)
+            for layer in layers:
+                if all(spec.gpt_end <= g0 or spec.gpt_start >= g1
+                       for g0, g1, _ in layer):
+                    layer.append((spec.gpt_start, spec.gpt_end, upd))
+                    break
+            else:
+                layers.append([(spec.gpt_start, spec.gpt_end, upd)])
+
+        for layer in layers:
+            pieces = []
+            at = 0
+            for g0, g1, upd in sorted(layer, key=lambda t: t[0]):
+                if g0 > at:
+                    pieces.append(jnp.zeros((C, L, g0 - at), dtype))
+                pieces.append(upd)
+                at = g1
+            if at < G:
+                pieces.append(jnp.zeros((C, L, G - at), dtype))
+            plane = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+                pieces, axis=2)
+            tau = tau + plane
     return tau
 
 
@@ -379,17 +405,41 @@ def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
     :674-718): 2-row gathers on krayl_rows (itropo*ntemp + jtemp rows)."""
     dtype = kd.krayl_rows.dtype
     neta, ntemp = kd.neta, kd.ntemp
+    F = kd.nflav
     masks = _flavor_masks(kd, dtype)
     tropo = interp.tropo
 
     it = np.arange(2, dtype=np.int32)[None, None, :]
     rows = (interp.itropo01 * ntemp + interp.jtemp0)[:, :, None] + it
+
+    fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
+
+    if config.use_pallas() and dtype == jnp.float32:
+        import os
+
+        from .pallas import interp_rows_pallas
+
+        C, L = tropo.shape
+        G = kd.krayl_rows.shape[2]
+        je = jnp.stack(
+            [_resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd,
+                               tropo) for i in range(2)], axis=2)
+        fms = [_resolve_flav(interp.fminor[:, :, c * F:(c + 1) * F], masks,
+                             tropo) for c in range(4)]   # (i*2+de) order
+        fm = jnp.stack(fms, axis=2).reshape(C, L, 2, 2, G)
+        block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
+        kloc = interp_rows_pallas(
+            kd.krayl_rows, rows.reshape(C * L, 2).astype(jnp.int32),
+            je.reshape(C * L, 2, G).astype(jnp.int32),
+            fm.reshape(C * L, 2, 2, G), neta=neta, block=block,
+            corner_itemp=(0, 1)).reshape(C, L, G)
+        return kloc * fac
+
     slab = jnp.take(kd.krayl_rows, rows, axis=0)      # (C,L,2,E,G)
 
     e_iota = jnp.arange(neta, dtype=jnp.int32)[None, None, :, None]
     kloc = 0.0
     for i in range(2):
-        F = kd.nflav
         je = _resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd, tropo)
         je_b = je[:, :, None, :]
         w0 = _resolve_flav(interp.fminor[:, :, (i * 2) * F:(i * 2 + 1) * F],
@@ -400,7 +450,6 @@ def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
              + w1[:, :, None, :] * (e_iota == je_b + 1).astype(dtype))
         kloc = kloc + jnp.sum(w * slab[:, :, i], axis=2)
 
-    fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
     return kloc * fac
 
 

@@ -40,14 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 ETA_STRIDE = 16
 
 
-def _kernel(rows_ref, je_ref, fm_ref, table_ref, out_ref):
+def _kernel(corner_itemp, rows_ref, je_ref, fm_ref, table_ref, out_ref):
     B, G = out_ref.shape
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (ETA_STRIDE, G), 0)
 
     def body(b, _):
         acc = jnp.zeros((1, G), out_ref.dtype)
-        for c in range(4):           # corners: (itemp, dpress) = (c//2, c%2)
-            i = c // 2
+        for c, i in enumerate(corner_itemp):   # corner -> temperature pair
             r = rows_ref[b, c] * ETA_STRIDE
             slab = table_ref[pl.ds(r, ETA_STRIDE), :]      # (16, G)
             je = je_ref[b, i, :][None, :]                  # (1, G)
@@ -62,12 +61,18 @@ def _kernel(rows_ref, je_ref, fm_ref, table_ref, out_ref):
     jax.lax.fori_loop(0, B, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("neta", "block"))
-def interp_rows_pallas(table, rows, je, fm, *, neta: int, block: int = 256):
+@functools.partial(jax.jit,
+                   static_argnames=("neta", "block", "corner_itemp"))
+def interp_rows_pallas(table, rows, je, fm, *, neta: int, block: int = 256,
+                       corner_itemp: tuple = (0, 0, 1, 1)):
     """See module docstring.  table (R, E, G) unpadded row layout;
-    rows (N, 4) *unscaled* (p*T + t) indices; je (N,2,G); fm (N,4,2,G).
-    Returns (N, G)."""
+    rows (N, NC) *unscaled* row indices; je (N,2,G); fm (N,NC,2,G);
+    corner_itemp maps each of the NC corners to its temperature pair
+    (4 corners (0,0,1,1) for the major/Planck tables; 2 corners (0,1)
+    for Rayleigh).  Returns (N, G)."""
     N, G = fm.shape[0], fm.shape[-1]
+    NC = len(corner_itemp)
+    assert fm.shape[1] == NC and rows.shape[1] == NC, (fm.shape, rows.shape)
     R = table.shape[0]
     assert table.shape[1] == neta, (table.shape, neta)
 
@@ -82,14 +87,14 @@ def interp_rows_pallas(table, rows, je, fm, *, neta: int, block: int = 256):
     n_pad = N + pad
 
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, corner_itemp),
         grid=(n_pad // block,),
         in_specs=[
-            pl.BlockSpec((block, 4), lambda ib: (ib, 0),
+            pl.BlockSpec((block, NC), lambda ib: (ib, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((block, 2, G), lambda ib: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 4, 2, G), lambda ib: (ib, 0, 0, 0),
+            pl.BlockSpec((block, NC, 2, G), lambda ib: (ib, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R * ETA_STRIDE, G), lambda ib: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -79,3 +79,34 @@ def test_gas_optics_pallas_path_matches_xla(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(tau_pl), np.asarray(tau_xla),
                                rtol=3e-6, atol=1e-12)
+
+
+def test_rayleigh_pallas_path_matches_xla(monkeypatch):
+    """tau_rayleigh's 2-corner Pallas dispatch vs the XLA path."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from jax.experimental.pallas import tpu as pltpu
+    from rte_rrtmgp_tpu.ops import gas_optics as go
+    from rte_rrtmgp_tpu import config as cfg
+
+    kd = small_kdist(longwave=False)
+    kd = jax.tree.map(lambda a: a.astype(np.float32)
+                      if hasattr(a, "dtype") and a.dtype.kind == "f" else a, kd)
+    atm = small_atmos(ncol=4, nlay=6, seed=2)
+    vmr, col_dry = atmos_inputs(kd, atm)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    col_gas = go.build_col_gas(f32(vmr), f32(col_dry))
+    interp = go.interpolation(kd, f32(atm["p_lay"]), f32(atm["t_lay"]), col_gas)
+
+    ray_xla = go.tau_rayleigh(kd, interp, col_gas, f32(col_dry))
+
+    monkeypatch.setenv("RTE_RRTMGP_PALLAS", "1")
+    assert cfg.use_pallas()
+    with pltpu.force_tpu_interpret_mode():
+        ray_pl = go.tau_rayleigh(kd, interp, col_gas, f32(col_dry))
+
+    np.testing.assert_allclose(np.asarray(ray_pl), np.asarray(ray_xla),
+                               rtol=3e-6, atol=1e-30)
