@@ -96,6 +96,8 @@ class KDist:
     krayl_rows: object            # (2*ntemp, neta, ngpt); SW only
     kminor_lower_rows: object     # ((neta-1)*ntemp, 2, ncont_lower)
     kminor_upper_rows: object     # ((neta-1)*ntemp, 2, ncont_upper)
+    kminor_lower_trows: object    # (ntemp, neta, ncont_lower) — Pallas path
+    kminor_upper_trows: object    # (ntemp, neta, ncont_upper)
     ratio_rows: object            # (2*ntemp, nflav): vmr_ref[g1]/vmr_ref[g2]
 
     # ---- static metadata ----
@@ -448,6 +450,10 @@ class KDist:
 
         kminor_lower_rows = minor_rows(kminor_lower)
         kminor_upper_rows = minor_rows(kminor_upper)
+        # (ncont, neta, ntemp) -> (ntemp, neta, ncont): temperature-row
+        # layout for the Pallas minor path (eta selected in-kernel).
+        kminor_lower_trows = np.transpose(kminor_lower, (2, 1, 0)).copy()
+        kminor_upper_trows = np.transpose(kminor_upper, (2, 1, 0)).copy()
 
         # binary-species mixing ratio eta numerator/denominator ratio,
         # precomputed per (atmosphere, temp, flavor); 0/0 handled exactly as
@@ -466,6 +472,8 @@ class KDist:
             krayl_rows=cast(krayl_rows),
             kminor_lower_rows=cast(kminor_lower_rows),
             kminor_upper_rows=cast(kminor_upper_rows),
+            kminor_lower_trows=cast(kminor_lower_trows),
+            kminor_upper_trows=cast(kminor_upper_trows),
             ratio_rows=cast(ratio_rows),
             kminor_lower=cast(kminor_lower),
             kminor_upper=cast(kminor_upper),

@@ -275,17 +275,20 @@ def _interp3d_rows_pallas(kd: KDist, table_rows, interp: Interp,
     """Pallas lowering of _interp3d_rows (same math, VMEM-resident table)."""
     from .pallas import interp_rows_pallas
 
+    import os
+
     C, L = interp.tropo.shape
+    N = C * L
     neta = table_rows.shape[1]
     G = table_rows.shape[2]
     tropo = interp.tropo
 
-    rows = _slab_rows(kd, interp).reshape(C * L, 4)
+    rows = _slab_rows(kd, interp).reshape(N, 4)
 
     F = kd.nflav
-    je = jnp.stack(
-        [_resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd, tropo)
-         for i in range(2)], axis=2)                         # (C,L,2,G)
+    jes = tuple(
+        _resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd, tropo)
+        .reshape(N, G).astype(jnp.int32) for i in range(2))
 
     fms = []
     for i in range(2):
@@ -296,16 +299,12 @@ def _interp3d_rows_pallas(kd: KDist, table_rows, interp: Interp,
             for de in range(2):
                 c0 = (i * 4 + dp * 2 + de) * F
                 w = _resolve_flav(interp.fmajor[:, :, c0:c0 + F], masks, tropo)
-                fms.append(w * cm if cm is not None else w)
-    fm = jnp.stack(fms, axis=2).reshape(C, L, 4, 2, G)       # (C,L,4corner,2de,G)
-
-    import os
+                fms.append((w * cm if cm is not None else w).reshape(N, G))
 
     block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
     out = interp_rows_pallas(
-        table_rows, rows.astype(jnp.int32),
-        je.reshape(C * L, 2, G).astype(jnp.int32),
-        fm.reshape(C * L, 4, 2, G), neta=neta, block=block)
+        table_rows, rows.astype(jnp.int32), jes, tuple(fms),
+        neta=neta, block=block)
     return out.reshape(C, L, G)
 
 
@@ -326,9 +325,12 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
     ntemp = kd.ntemp
     C, L, G = tau.shape
 
-    for lower, specs, kminor_rows in (
-        (True, kd.minor_lower, kd.kminor_lower_rows),
-        (False, kd.minor_upper, kd.kminor_upper_rows),
+    use_pallas = config.use_pallas() and dtype == jnp.float32
+    F = kd.nflav
+
+    for lower, specs, kminor_rows, kminor_trows in (
+        (True, kd.minor_lower, kd.kminor_lower_rows, kd.kminor_lower_trows),
+        (False, kd.minor_upper, kd.kminor_upper_rows, kd.kminor_upper_trows),
     ):
         if not specs:
             continue
@@ -336,15 +338,7 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
         maskf = mask.astype(dtype)
         jt = interp.jtemp0  # (ncol, nlay)
 
-        # Assemble per-interval contributions into overlap "layers" of
-        # disjoint g-ranges, stitched with zero fills and added to tau as
-        # whole (ncol, nlay, ngpt) planes: per-spec dynamic_update_slice
-        # chains cost a full tau copy per interval on TPU.  Greedy first-fit
-        # in spec order keeps the per-g-point addition order identical to
-        # the sequential reference loop.
-        layers = []  # list of list[(g0, g1, upd)]
-
-        for spec in specs:
+        def spec_scaling(spec):
             scaling = col_gas[:, :, spec.idx_minor]
             if spec.scales_with_density:
                 scaling = scaling * (0.01 * play / tlay)
@@ -356,14 +350,82 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
                     dry_fact = 1.0 / (1.0 + col_gas[:, :, kd.idx_h2o] * vmr_fact)
                     s = col_gas[:, :, spec.idx_scaling] * vmr_fact * dry_fact
                     scaling = scaling * ((1.0 - s) if spec.scale_by_complement else s)
-            scaling = scaling * maskf
+            return scaling * maskf
+
+        # Assemble per-interval contributions into overlap "layers" of
+        # disjoint g-ranges, stitched with zero fills and added to tau as
+        # whole (ncol, nlay, ngpt) planes: per-spec dynamic_update_slice
+        # chains cost a full tau copy per interval on TPU.  Greedy first-fit
+        # in spec order keeps the per-g-point addition order identical to
+        # the sequential reference loop.
+        layers = []  # list of list[(g0, g1, upd)]
+
+        def place(spec, upd):
+            for layer in layers:
+                if all(spec.gpt_end <= g0 or spec.gpt_start >= g1
+                       for g0, g1, _ in layer):
+                    layer.append((spec.gpt_start, spec.gpt_end, upd))
+                    return
+            layers.append([(spec.gpt_start, spec.gpt_end, upd)])
+
+        if use_pallas:
+            # One kernel call for ALL intervals of this atmosphere: the
+            # "g" axis is the concatenated contributor axis; je / weights /
+            # scaling broadcast per interval (contributors of one interval
+            # share the interval's flavor).
+            import os
+
+            from .pallas import interp_rows_pallas
+
+            def bcast(x_cl, ng):
+                return jnp.broadcast_to(x_cl[:, :, None], (C, L, ng))
+
+            cols, jes2, fms4, scals = [], ([], []), ([], [], [], []), []
+            for spec in specs:
+                ng = spec.gpt_end - spec.gpt_start
+                cols.append(jax.lax.slice_in_dim(
+                    kminor_trows, spec.kminor_start, spec.kminor_start + ng,
+                    axis=2))
+                f = spec.flavor
+                for i in range(2):
+                    jes2[i].append(bcast(interp.jeta0[:, :, i * F + f], ng))
+                for c in range(4):  # (i*2+de)
+                    fms4[c].append(bcast(interp.fminor[:, :, c * F + f], ng))
+                scals.append(bcast(spec_scaling(spec), ng))
+
+            cat = lambda parts: (parts[0] if len(parts) == 1
+                                 else jnp.concatenate(parts, axis=2))
+            tbl = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=2)
+            CT = sum(s.gpt_end - s.gpt_start for s in specs)
+            N = C * L
+            it = np.arange(2, dtype=np.int32)[None, None, :]
+            rows = (jt[:, :, None] + it).reshape(N, 2)
+            block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
+            ltau_all = interp_rows_pallas(
+                tbl, rows.astype(jnp.int32),
+                tuple(cat(p).reshape(N, CT).astype(jnp.int32) for p in jes2),
+                tuple(cat(p).reshape(N, CT) for p in fms4),
+                neta=kd.neta, block=block, corner_itemp=(0, 1))
+            upd_all = (ltau_all.reshape(C, L, CT)
+                       * cat(scals))
+            off = 0
+            for spec in specs:
+                ng = spec.gpt_end - spec.gpt_start
+                place(spec, jax.lax.slice_in_dim(upd_all, off, off + ng,
+                                                 axis=2))
+                off += ng
+            specs_iter = ()
+        else:
+            specs_iter = specs
+
+        for spec in specs_iter:
+            scaling = spec_scaling(spec)
 
             ng = spec.gpt_end - spec.gpt_start
             tbl = jax.lax.slice_in_dim(kminor_rows, spec.kminor_start,
                                        spec.kminor_start + ng, axis=2)
             # rows r_i = jeta0[f, i]*ntemp + jtemp0 + i  (i = temperature pair)
             f = spec.flavor
-            F = kd.nflav
             je = jnp.stack([interp.jeta0[:, :, f],
                             interp.jeta0[:, :, F + f]], axis=-1)  # (C,L,2)
             it = np.arange(2, dtype=np.int32)[None, None, :]
@@ -376,13 +438,7 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
                    fm[:, :, 2 * F + f, None] * slab[:, :, 1, 0]
                     + fm[:, :, 3 * F + f, None] * slab[:, :, 1, 1])
             upd = ltau * scaling[:, :, None]
-            for layer in layers:
-                if all(spec.gpt_end <= g0 or spec.gpt_start >= g1
-                       for g0, g1, _ in layer):
-                    layer.append((spec.gpt_start, spec.gpt_end, upd))
-                    break
-            else:
-                layers.append([(spec.gpt_start, spec.gpt_end, upd)])
+            place(spec, upd)
 
         for layer in layers:
             pieces = []
@@ -420,18 +476,20 @@ def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
         from .pallas import interp_rows_pallas
 
         C, L = tropo.shape
+        N = C * L
         G = kd.krayl_rows.shape[2]
-        je = jnp.stack(
-            [_resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd,
-                               tropo) for i in range(2)], axis=2)
-        fms = [_resolve_flav(interp.fminor[:, :, c * F:(c + 1) * F], masks,
-                             tropo) for c in range(4)]   # (i*2+de) order
-        fm = jnp.stack(fms, axis=2).reshape(C, L, 2, 2, G)
+        jes = tuple(
+            _resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd,
+                              tropo).reshape(N, G).astype(jnp.int32)
+            for i in range(2))
+        fms = tuple(
+            _resolve_flav(interp.fminor[:, :, c * F:(c + 1) * F], masks,
+                          tropo).reshape(N, G)
+            for c in range(4))   # (i*2+de) order
         block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
         kloc = interp_rows_pallas(
-            kd.krayl_rows, rows.reshape(C * L, 2).astype(jnp.int32),
-            je.reshape(C * L, 2, G).astype(jnp.int32),
-            fm.reshape(C * L, 2, 2, G), neta=neta, block=block,
+            kd.krayl_rows, rows.reshape(N, 2).astype(jnp.int32),
+            jes, fms, neta=neta, block=block,
             corner_itemp=(0, 1)).reshape(C, L, G)
         return kloc * fac
 

@@ -1,12 +1,12 @@
 """Fused k-table interpolation Pallas kernel.
 
-The hot op of RRTMGP gas optics is the 8-point trilinear k-table lookup
+The hot op of RRTMGP gas optics is the multi-point k-table interpolation
 (reference ``gas_optical_depths_major_kernel``,
-``src_kernels_cuda/gas_optics_rrtmgp_kernels.cu:398-443``).  The pure-XLA
-path (ops/gas_optics.py) phrases it as HBM row gathers, which costs a
-multi-GB slab round-trip per table at RCEMIP scale.  This kernel keeps the
+``src_kernels_cuda/gas_optics_rrtmgp_kernels.cu:398-443`` and friends).  The
+pure-XLA path (ops/gas_optics.py) phrases it as HBM row gathers, which costs
+a multi-GB slab round-trip per table at RCEMIP scale.  This kernel keeps the
 whole k-table **resident in VMEM** and, for each (column, layer) cell,
-dynamically slices the four (neta, gpt) corner slabs directly on-chip and
+dynamically slices the (neta, gpt) corner slabs directly on-chip and
 contracts the eta axis with a fused one-hot selection — no slab ever touches
 HBM.
 
@@ -14,14 +14,15 @@ The eta axis is padded to a 16-row stride so every dynamic slice start is
 sublane-aligned (Mosaic requires multiples of 8); padded rows are zeroed and
 always carry zero one-hot weight.
 
-Inputs (per g-point chunk of width G):
-  table  (R*16, G) f32      — row layout, eta stride padded to 16, VMEM
-  rows   (N, 4) int32       — (p*T + t) row index per (cell, corner)
-  je     (N, 2, G) int32    — per-g-point eta lower corner, per temp pair
-  fm     (N, 4, 2, G) f32   — trilinear weights per (corner, eta corner),
-                              with col_mix pre-folded for the tau variant
-Output:
-  out    (N, G) f32 = sum_corner sum_de fm * table[row*16 + je + de]
+One kernel serves four ops, differing only in corner count and row content:
+  * tau_major / planck_frac: 4 corners (itemp x dpress), rows (p*T + t)
+  * tau_rayleigh:            2 corners (itemp),          rows (itropo*T + t)
+  * tau_minor (per atmosphere): 2 corners (itemp),       rows (t), with the
+    "g" axis being the concatenated minor-contributor axis
+
+Weight planes arrive as SEPARATE (N, G) inputs (not a stacked (N, NC, 2, G)
+array): stacking materializes through a chain of dynamic-update-slice
+fusions that costs more than the kernel itself.
 
 Cells are processed in blocks of B rows per grid step with an in-kernel
 fori_loop; the block size is autotunable (utils/tuner.py).
@@ -40,7 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 ETA_STRIDE = 16
 
 
-def _kernel(corner_itemp, rows_ref, je_ref, fm_ref, table_ref, out_ref):
+def _kernel(corner_itemp, rows_ref, *refs):
+    nc = len(corner_itemp)
+    je_refs = refs[0:2]
+    fm_refs = refs[2:2 + 2 * nc]      # (corner, de) pairs, c-major
+    table_ref = refs[2 + 2 * nc]
+    out_ref = refs[3 + 2 * nc]
     B, G = out_ref.shape
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (ETA_STRIDE, G), 0)
 
@@ -49,11 +55,11 @@ def _kernel(corner_itemp, rows_ref, je_ref, fm_ref, table_ref, out_ref):
         for c, i in enumerate(corner_itemp):   # corner -> temperature pair
             r = rows_ref[b, c] * ETA_STRIDE
             slab = table_ref[pl.ds(r, ETA_STRIDE), :]      # (16, G)
-            je = je_ref[b, i, :][None, :]                  # (1, G)
+            je = je_refs[i][b, :][None, :]                 # (1, G)
             sel0 = (e_iota == je).astype(slab.dtype)
             sel1 = (e_iota == je + 1).astype(slab.dtype)
-            w = (fm_ref[b, c, 0, :][None, :] * sel0
-                 + fm_ref[b, c, 1, :][None, :] * sel1)     # (16, G)
+            w = (fm_refs[2 * c][b, :][None, :] * sel0
+                 + fm_refs[2 * c + 1][b, :][None, :] * sel1)  # (16, G)
             acc = acc + jnp.sum(w * slab, axis=0, keepdims=True)
         out_ref[b, :] = acc[0]
         return 0
@@ -63,16 +69,16 @@ def _kernel(corner_itemp, rows_ref, je_ref, fm_ref, table_ref, out_ref):
 
 @functools.partial(jax.jit,
                    static_argnames=("neta", "block", "corner_itemp"))
-def interp_rows_pallas(table, rows, je, fm, *, neta: int, block: int = 256,
+def interp_rows_pallas(table, rows, jes, fms, *, neta: int, block: int = 256,
                        corner_itemp: tuple = (0, 0, 1, 1)):
-    """See module docstring.  table (R, E, G) unpadded row layout;
-    rows (N, NC) *unscaled* row indices; je (N,2,G); fm (N,NC,2,G);
-    corner_itemp maps each of the NC corners to its temperature pair
-    (4 corners (0,0,1,1) for the major/Planck tables; 2 corners (0,1)
-    for Rayleigh).  Returns (N, G)."""
-    N, G = fm.shape[0], fm.shape[-1]
+    """table (R, E, G) unpadded row layout; rows (N, NC) *unscaled* row
+    indices; jes = (je_itemp0, je_itemp1) each (N, G) int32; fms = flat
+    tuple of 2*NC weight planes (N, G) ordered (corner0_de0, corner0_de1,
+    corner1_de0, ...); corner_itemp maps each corner to its temperature
+    pair.  Returns (N, G)."""
+    N, G = fms[0].shape
     NC = len(corner_itemp)
-    assert fm.shape[1] == NC and rows.shape[1] == NC, (fm.shape, rows.shape)
+    assert len(jes) == 2 and len(fms) == 2 * NC, (len(jes), len(fms), NC)
     R = table.shape[0]
     assert table.shape[1] == neta, (table.shape, neta)
 
@@ -82,25 +88,23 @@ def interp_rows_pallas(table, rows, je, fm, *, neta: int, block: int = 256,
     pad = (-N) % block
     if pad:
         rows = jnp.pad(rows, ((0, pad), (0, 0)))
-        je = jnp.pad(je, ((0, pad), (0, 0), (0, 0)))
-        fm = jnp.pad(fm, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        jes = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in jes)
+        fms = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in fms)
     n_pad = N + pad
 
+    plane = pl.BlockSpec((block, G), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, corner_itemp),
         grid=(n_pad // block,),
         in_specs=[
             pl.BlockSpec((block, NC), lambda ib: (ib, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, 2, G), lambda ib: (ib, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, NC, 2, G), lambda ib: (ib, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *([plane] * (2 + 2 * NC)),
             pl.BlockSpec((R * ETA_STRIDE, G), lambda ib: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, G), lambda ib: (ib, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=plane,
         out_shape=jax.ShapeDtypeStruct((n_pad, G), table.dtype),
-    )(rows, je, fm, tbl)
+    )(rows, *jes, *fms, tbl)
     return out[:N] if pad else out

@@ -39,10 +39,13 @@ def test_kernel_matches_oracle_interpret(N, G):
     je = rng.integers(0, neta - 1, (N, 2, G)).astype(np.int32)
     fm = rng.random((N, 4, 2, G), np.float32)
 
+    jes = tuple(jnp.asarray(je[:, i]) for i in range(2))
+    fms = tuple(jnp.asarray(fm[:, c, de])
+                for c in range(4) for de in range(2))
     with pltpu.force_tpu_interpret_mode():
         out = interp_rows_pallas(
-            jnp.asarray(table), jnp.asarray(rows), jnp.asarray(je),
-            jnp.asarray(fm), neta=neta, block=8)
+            jnp.asarray(table), jnp.asarray(rows), jes, fms,
+            neta=neta, block=8)
     ref = _oracle(table, rows, je, fm, neta)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-6)
 
@@ -109,4 +112,39 @@ def test_rayleigh_pallas_path_matches_xla(monkeypatch):
         ray_pl = go.tau_rayleigh(kd, interp, col_gas, f32(col_dry))
 
     np.testing.assert_allclose(np.asarray(ray_pl), np.asarray(ray_xla),
+                               rtol=3e-6, atol=1e-30)
+
+
+def test_minor_pallas_path_matches_xla(monkeypatch):
+    """tau_minor's one-call-per-atmosphere Pallas dispatch vs XLA."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from jax.experimental.pallas import tpu as pltpu
+    from rte_rrtmgp_tpu.ops import gas_optics as go
+    from rte_rrtmgp_tpu import config as cfg
+
+    kd = small_kdist(longwave=True)
+    kd = jax.tree.map(lambda a: a.astype(np.float32)
+                      if hasattr(a, "dtype") and a.dtype.kind == "f" else a, kd)
+    assert kd.minor_lower and kd.minor_upper
+    atm = small_atmos(ncol=4, nlay=6, seed=3)
+    vmr, col_dry = atmos_inputs(kd, atm)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    p, t = f32(atm["p_lay"]), f32(atm["t_lay"])
+    col_gas = go.build_col_gas(f32(vmr), f32(col_dry))
+    interp = go.interpolation(kd, p, t, col_gas)
+    tau0 = jnp.zeros((4, 6, kd.ngpt), jnp.float32)
+
+    tau_xla = go.tau_minor(kd, interp, p, t, col_gas, tau0)
+    assert float(jnp.abs(tau_xla).max()) > 0
+
+    monkeypatch.setenv("RTE_RRTMGP_PALLAS", "1")
+    assert cfg.use_pallas()
+    with pltpu.force_tpu_interpret_mode():
+        tau_pl = go.tau_minor(kd, interp, p, t, col_gas, tau0)
+
+    np.testing.assert_allclose(np.asarray(tau_pl), np.asarray(tau_xla),
                                rtol=3e-6, atol=1e-30)
