@@ -57,6 +57,7 @@ class Interp:
 
     jtemp0: object    # (ncol, nlay) int32 in [0, ntemp-2]
     jpress0: object   # (ncol, nlay) int32: 0-based row of jpress (1-based) - 1
+    fpress: object    # (ncol, nlay) pressure interpolation fraction
     tropo: object     # (ncol, nlay) bool
     itropo01: object  # (ncol, nlay) int32: 0 troposphere / 1 upper
     jeta0: object     # (ncol, nlay, 2*nflav) int32; index itemp*F + f
@@ -166,6 +167,7 @@ def interpolation(kd: KDist, play, tlay, col_gas) -> Interp:
     return Interp(
         jtemp0=jtemp - 1,
         jpress0=jpress - 1,
+        fpress=fpress,
         tropo=tropo,
         itropo01=itropo01,
         jeta0=flat(jeta - 1),
@@ -210,6 +212,24 @@ def _resolve_flav_int(x, kd: KDist, tropo):
         out0 = out0 + x[:, :, f, None] * masks[0, f]
         out1 = out1 + x[:, :, f, None] * masks[1, f]
     return jnp.where(tropo[:, :, None], out0, out1)
+
+
+def _kernel_resolves(kd: KDist, interp: Interp, masks):
+    """Per-g-point eta indices and fminor weight planes for the Pallas
+    kernel — shared (and CSE'd by XLA) across tau_major, planck_source and
+    tau_rayleigh within a spectral chunk."""
+    F = kd.nflav
+    tropo = interp.tropo
+    C, L = tropo.shape
+    G = masks.shape[2]
+    N = C * L
+    jes = tuple(
+        _resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd, tropo)
+        .reshape(N, G).astype(jnp.int32) for i in range(2))
+    fms = tuple(
+        _resolve_flav(interp.fminor[:, :, c * F:(c + 1) * F], masks, tropo)
+        .reshape(N, G) for c in range(4))   # (itemp*2 + deta) order
+    return jes, fms
 
 
 def _slab_rows(kd: KDist, interp: Interp):
@@ -282,29 +302,21 @@ def _interp3d_rows_pallas(kd: KDist, table_rows, interp: Interp,
     neta = table_rows.shape[1]
     G = table_rows.shape[2]
     tropo = interp.tropo
+    F = kd.nflav
 
     rows = _slab_rows(kd, interp).reshape(N, 4)
-
-    F = kd.nflav
-    jes = tuple(
-        _resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd, tropo)
-        .reshape(N, G).astype(jnp.int32) for i in range(2))
-
-    fms = []
-    for i in range(2):
-        cm = (_resolve_flav(interp.col_mix[:, :, i * F:(i + 1) * F], masks,
-                            tropo)
-              if scale_by_colmix else None)
-        for dp in range(2):
-            for de in range(2):
-                c0 = (i * 4 + dp * 2 + de) * F
-                w = _resolve_flav(interp.fmajor[:, :, c0:c0 + F], masks, tropo)
-                fms.append((w * cm if cm is not None else w).reshape(N, G))
+    jes, fms = _kernel_resolves(kd, interp, masks)
+    fp = interp.fpress.reshape(N)
+    cms = None
+    if scale_by_colmix:
+        cms = tuple(
+            _resolve_flav(interp.col_mix[:, :, i * F:(i + 1) * F], masks,
+                          tropo).reshape(N, G) for i in range(2))
 
     block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
     out = interp_rows_pallas(
-        table_rows, rows.astype(jnp.int32), jes, tuple(fms),
-        neta=neta, block=block)
+        table_rows, rows.astype(jnp.int32), jes, fms,
+        fp=fp, cms=cms, neta=neta, block=block)
     return out.reshape(C, L, G)
 
 
@@ -478,14 +490,7 @@ def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
         C, L = tropo.shape
         N = C * L
         G = kd.krayl_rows.shape[2]
-        jes = tuple(
-            _resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd,
-                              tropo).reshape(N, G).astype(jnp.int32)
-            for i in range(2))
-        fms = tuple(
-            _resolve_flav(interp.fminor[:, :, c * F:(c + 1) * F], masks,
-                          tropo).reshape(N, G)
-            for c in range(4))   # (i*2+de) order
+        jes, fms = _kernel_resolves(kd, interp, masks)
         block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
         kloc = interp_rows_pallas(
             kd.krayl_rows, rows.reshape(N, 2).astype(jnp.int32),

@@ -41,26 +41,48 @@ from jax.experimental.pallas import tpu as pltpu
 ETA_STRIDE = 16
 
 
-def _kernel(corner_itemp, rows_ref, *refs):
+def _kernel(corner_itemp, has_fp, has_cm, rows_ref, *refs):
     nc = len(corner_itemp)
-    je_refs = refs[0:2]
-    fm_refs = refs[2:2 + 2 * nc]      # (corner, de) pairs, c-major
-    table_ref = refs[2 + 2 * nc]
-    out_ref = refs[3 + 2 * nc]
+    k = 0
+    fp_ref = None
+    if has_fp:
+        fp_ref = refs[0]
+        k = 1
+    je_refs = refs[k:k + 2]
+    fm_refs = refs[k + 2:k + 6]       # fminor planes, (itemp*2 + deta) order
+    k += 6
+    cm_refs = None
+    if has_cm:
+        cm_refs = refs[k:k + 2]
+        k += 2
+    table_ref = refs[k]
+    out_ref = refs[k + 1]
     B, G = out_ref.shape
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (ETA_STRIDE, G), 0)
 
     def body(b, _):
+        fp = fp_ref[b, 0] if has_fp else None
         acc = jnp.zeros((1, G), out_ref.dtype)
+        # The eta weight matrix depends only on the temperature pair: build
+        # it once per pair and reuse across the pressure corners.
+        w_i = [None, None]
         for c, i in enumerate(corner_itemp):   # corner -> temperature pair
+            if w_i[i] is None:
+                je = je_refs[i][b, :][None, :]             # (1, G)
+                sel0 = (e_iota == je).astype(out_ref.dtype)
+                sel1 = (e_iota == je + 1).astype(out_ref.dtype)
+                w_i[i] = (fm_refs[2 * i][b, :][None, :] * sel0
+                          + fm_refs[2 * i + 1][b, :][None, :] * sel1)
             r = rows_ref[b, c] * ETA_STRIDE
             slab = table_ref[pl.ds(r, ETA_STRIDE), :]      # (16, G)
-            je = je_refs[i][b, :][None, :]                 # (1, G)
-            sel0 = (e_iota == je).astype(slab.dtype)
-            sel1 = (e_iota == je + 1).astype(slab.dtype)
-            w = (fm_refs[2 * c][b, :][None, :] * sel0
-                 + fm_refs[2 * c + 1][b, :][None, :] * sel1)  # (16, G)
-            acc = acc + jnp.sum(w * slab, axis=0, keepdims=True)
+            pair = jnp.sum(w_i[i] * slab, axis=0, keepdims=True)
+            if has_fp:
+                # 4-corner layout (i0p0, i0p1, i1p0, i1p1): odd corners get
+                # the fpress weight, even corners (1 - fpress).
+                pair = pair * jnp.where(c % 2 == 1, fp, 1.0 - fp)
+            if has_cm:
+                pair = pair * cm_refs[i][b, :][None, :]
+            acc = acc + pair
         out_ref[b, :] = acc[0]
         return 0
 
@@ -69,16 +91,21 @@ def _kernel(corner_itemp, rows_ref, *refs):
 
 @functools.partial(jax.jit,
                    static_argnames=("neta", "block", "corner_itemp"))
-def interp_rows_pallas(table, rows, jes, fms, *, neta: int, block: int = 256,
+def interp_rows_pallas(table, rows, jes, fms, *, fp=None, cms=None,
+                       neta: int, block: int = 256,
                        corner_itemp: tuple = (0, 0, 1, 1)):
     """table (R, E, G) unpadded row layout; rows (N, NC) *unscaled* row
-    indices; jes = (je_itemp0, je_itemp1) each (N, G) int32; fms = flat
-    tuple of 2*NC weight planes (N, G) ordered (corner0_de0, corner0_de1,
-    corner1_de0, ...); corner_itemp maps each corner to its temperature
-    pair.  Returns (N, G)."""
+    indices; jes = (je_itemp0, je_itemp1) each (N, G) int32; fms = the four
+    fminor weight planes (N, G) in (itemp*2 + deta) order (shared across
+    the major / Planck / Rayleigh tables — XLA CSEs their construction);
+    fp = per-cell pressure interpolation fraction (N,), folded in-kernel
+    for the 4-corner (i0p0, i0p1, i1p0, i1p1) layout; cms = per-itemp
+    col_mix planes for the tau variant.  corner_itemp maps each corner to
+    its temperature pair.  Returns (N, G)."""
     N, G = fms[0].shape
     NC = len(corner_itemp)
-    assert len(jes) == 2 and len(fms) == 2 * NC, (len(jes), len(fms), NC)
+    assert len(jes) == 2 and len(fms) == 4, (len(jes), len(fms), NC)
+    assert fp is None or NC == 4
     R = table.shape[0]
     assert table.shape[1] == neta, (table.shape, neta)
 
@@ -90,21 +117,38 @@ def interp_rows_pallas(table, rows, jes, fms, *, neta: int, block: int = 256,
         rows = jnp.pad(rows, ((0, pad), (0, 0)))
         jes = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in jes)
         fms = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in fms)
+        if fp is not None:
+            fp = jnp.pad(fp, ((0, pad),))
+
+        if cms is not None:
+            cms = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in cms)
     n_pad = N + pad
 
     plane = pl.BlockSpec((block, G), lambda ib: (ib, 0),
                          memory_space=pltpu.VMEM)
+    operands = [rows]
+    specs = [pl.BlockSpec((block, NC), lambda ib: (ib, 0),
+                          memory_space=pltpu.SMEM)]
+    if fp is not None:
+        operands.append(fp.reshape(-1, 1))
+        specs.append(pl.BlockSpec((block, 1), lambda ib: (ib, 0),
+                                  memory_space=pltpu.SMEM))
+    operands.extend(jes)
+    operands.extend(fms)
+    specs.extend([plane] * 6)
+    if cms is not None:
+        operands.extend(cms)
+        specs.extend([plane] * 2)
+    operands.append(tbl)
+    specs.append(pl.BlockSpec((R * ETA_STRIDE, G), lambda ib: (0, 0),
+                              memory_space=pltpu.VMEM))
+
     out = pl.pallas_call(
-        functools.partial(_kernel, corner_itemp),
+        functools.partial(_kernel, corner_itemp, fp is not None,
+                          cms is not None),
         grid=(n_pad // block,),
-        in_specs=[
-            pl.BlockSpec((block, NC), lambda ib: (ib, 0),
-                         memory_space=pltpu.SMEM),
-            *([plane] * (2 + 2 * NC)),
-            pl.BlockSpec((R * ETA_STRIDE, G), lambda ib: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=plane,
         out_shape=jax.ShapeDtypeStruct((n_pad, G), table.dtype),
-    )(rows, *jes, *fms, tbl)
+    )(*operands)
     return out[:N] if pad else out

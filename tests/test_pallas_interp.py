@@ -12,42 +12,53 @@ import jax.numpy as jnp
 from rte_rrtmgp_tpu.ops.pallas import interp_rows_pallas
 
 
-def _oracle(table, rows, je, fm, neta):
+def _oracle(table, rows, je, fms, fp, cms, corner_itemp):
     """NumPy reference of the kernel contract."""
-    N, G = fm.shape[0], fm.shape[-1]
+    N, G = fms[0].shape
     out = np.zeros((N, G), np.float64)
     tbl = np.asarray(table, np.float64)
     for n in range(N):
-        for c in range(4):
-            i = c // 2
+        for c, i in enumerate(corner_itemp):
             slab = tbl[rows[n, c]]                         # (E, G)
             for g in range(G):
                 e = je[n, i, g]
-                out[n, g] += (fm[n, c, 0, g] * slab[e, g]
-                              + fm[n, c, 1, g] * slab[e + 1, g])
+                pair = (fms[2 * i][n, g] * slab[e, g]
+                        + fms[2 * i + 1][n, g] * slab[e + 1, g])
+                if fp is not None:
+                    pair *= fp[n] if c % 2 == 1 else 1.0 - fp[n]
+                if cms is not None:
+                    pair *= cms[i][n, g]
+                out[n, g] += pair
     return out
 
 
-@pytest.mark.parametrize("N,G", [(7, 128), (32, 128)])
-def test_kernel_matches_oracle_interpret(N, G):
+@pytest.mark.parametrize("N,G,with_fp,with_cm", [
+    (7, 128, True, True), (32, 128, True, False), (16, 128, False, False)])
+def test_kernel_matches_oracle_interpret(N, G, with_fp, with_cm):
     from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.default_rng(0)
     neta, R = 9, 6 * 4   # (press*temp) rows
+    corner_itemp = (0, 0, 1, 1) if with_fp else (0, 1)
+    nc = len(corner_itemp)
     table = rng.random((R, neta, G), np.float32)
-    rows = rng.integers(0, R, (N, 4)).astype(np.int32)
+    rows = rng.integers(0, R, (N, nc)).astype(np.int32)
     je = rng.integers(0, neta - 1, (N, 2, G)).astype(np.int32)
-    fm = rng.random((N, 4, 2, G), np.float32)
+    fms = tuple(rng.random((N, G), np.float32) for _ in range(4))
+    fp = rng.random((N,), np.float32) if with_fp else None
+    cms = (tuple(rng.random((N, G), np.float32) for _ in range(2))
+           if with_cm else None)
 
     jes = tuple(jnp.asarray(je[:, i]) for i in range(2))
-    fms = tuple(jnp.asarray(fm[:, c, de])
-                for c in range(4) for de in range(2))
     with pltpu.force_tpu_interpret_mode():
         out = interp_rows_pallas(
-            jnp.asarray(table), jnp.asarray(rows), jes, fms,
-            neta=neta, block=8)
-    ref = _oracle(table, rows, je, fm, neta)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-6)
+            jnp.asarray(table), jnp.asarray(rows), jes,
+            tuple(jnp.asarray(f) for f in fms),
+            fp=None if fp is None else jnp.asarray(fp),
+            cms=None if cms is None else tuple(jnp.asarray(c) for c in cms),
+            neta=neta, block=8, corner_itemp=corner_itemp)
+    ref = _oracle(table, rows, je, fms, fp, cms, corner_itemp)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-6)
 
 
 def test_gas_optics_pallas_path_matches_xla(monkeypatch):
