@@ -189,29 +189,22 @@ def _resolve_flav(x, masks, tropo):
     """Expand a per-flavor quantity to per-g-point with static masks.
 
     x: (ncol, nlay, nflav); masks: (2, nflav, ngpt) 0/1; tropo (ncol, nlay).
-    Exactly one mask entry is 1 per (a, g), so the masked sum is an exact
-    select — the TPU-friendly replacement for take_along_axis over flavors.
-    """
-    nflav = x.shape[2]
-    out0 = x[:, :, 0, None] * masks[0, 0]
-    out1 = x[:, :, 0, None] * masks[1, 0]
-    for f in range(1, nflav):
-        out0 = out0 + x[:, :, f, None] * masks[0, f]
-        out1 = out1 + x[:, :, f, None] * masks[1, f]
+    Exactly one mask entry is 1 per (a, g), so the one-hot contraction is an
+    exact select — the TPU-friendly replacement for take_along_axis over
+    flavors, phrased as an MXU matmul (a single nonzero product per output
+    stays exact in every matmul precision)."""
+    m = jnp.asarray(masks, x.dtype)
+    out0 = jnp.matmul(x, m[0], precision="highest")
+    out1 = jnp.matmul(x, m[1], precision="highest")
     return jnp.where(tropo[:, :, None], out0, out1)
 
 
 def _resolve_flav_int(x, kd: KDist, tropo):
-    """Integer variant (for jeta0): masked sum with int32 masks."""
-    gpf = np.asarray(kd.gpoint_flavor, dtype=np.int64)
-    f_iota = np.arange(kd.nflav, dtype=np.int64)[None, :, None]
-    masks = np.asarray(gpf[:, None, :] == f_iota, dtype=np.int32)
-    out0 = x[:, :, 0, None] * masks[0, 0]
-    out1 = x[:, :, 0, None] * masks[1, 0]
-    for f in range(1, x.shape[2]):
-        out0 = out0 + x[:, :, f, None] * masks[0, f]
-        out1 = out1 + x[:, :, f, None] * masks[1, f]
-    return jnp.where(tropo[:, :, None], out0, out1)
+    """Integer variant (for jeta0): one-hot matmul in f32 (values <= neta-1
+    are exactly representable), rounded back to int32."""
+    masks = _flavor_masks(kd, np.float32)
+    out = _resolve_flav(x.astype(jnp.float32), masks, tropo)
+    return jnp.round(out).astype(jnp.int32)
 
 
 def _kernel_resolves(kd: KDist, interp: Interp, masks):
@@ -340,131 +333,148 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
     use_pallas = config.use_pallas() and dtype == jnp.float32
     F = kd.nflav
 
-    for lower, specs, kminor_rows, kminor_trows in (
-        (True, kd.minor_lower, kd.kminor_lower_rows, kd.kminor_lower_trows),
-        (False, kd.minor_upper, kd.kminor_upper_rows, kd.kminor_upper_trows),
-    ):
-        if not specs:
-            continue
-        mask = interp.tropo if lower else jnp.logical_not(interp.tropo)
-        maskf = mask.astype(dtype)
-        jt = interp.jtemp0  # (ncol, nlay)
+    def spec_scaling(spec, maskf):
+        scaling = col_gas[:, :, spec.idx_minor]
+        if spec.scales_with_density:
+            scaling = scaling * (0.01 * play / tlay)
+            if spec.idx_scaling > 0:
+                # Guard degenerate layers (col_dry == 0, e.g. duplicated
+                # pressure levels at the model top) against 0/0 -> NaN.
+                vmr_fact = 1.0 / jnp.maximum(col_gas[:, :, 0],
+                                             config.tiny(dtype))
+                dry_fact = 1.0 / (1.0 + col_gas[:, :, kd.idx_h2o] * vmr_fact)
+                sx = col_gas[:, :, spec.idx_scaling] * vmr_fact * dry_fact
+                scaling = scaling * ((1.0 - sx) if spec.scale_by_complement
+                                     else sx)
+        return scaling * maskf
 
-        def spec_scaling(spec):
-            scaling = col_gas[:, :, spec.idx_minor]
-            if spec.scales_with_density:
-                scaling = scaling * (0.01 * play / tlay)
-                if spec.idx_scaling > 0:
-                    # Guard degenerate layers (col_dry == 0, e.g. duplicated
-                    # pressure levels at the model top) against 0/0 -> NaN.
-                    vmr_fact = 1.0 / jnp.maximum(col_gas[:, :, 0],
-                                                 config.tiny(dtype))
-                    dry_fact = 1.0 / (1.0 + col_gas[:, :, kd.idx_h2o] * vmr_fact)
-                    s = col_gas[:, :, spec.idx_scaling] * vmr_fact * dry_fact
-                    scaling = scaling * ((1.0 - s) if spec.scale_by_complement else s)
-            return scaling * maskf
+    # Assemble per-interval contributions into overlap "layers" of disjoint
+    # g-ranges, stitched with zero fills and added to tau as whole
+    # (ncol, nlay, ngpt) planes: per-spec dynamic_update_slice chains cost a
+    # full tau copy per interval on TPU.  Greedy first-fit in spec order
+    # keeps the per-g-point addition order identical to the sequential
+    # reference loop (lower and upper atmospheres are disjoint per cell, so
+    # merging their layers is exact).
+    layers = []  # list of list[(g0, g1, upd)]
 
-        # Assemble per-interval contributions into overlap "layers" of
-        # disjoint g-ranges, stitched with zero fills and added to tau as
-        # whole (ncol, nlay, ngpt) planes: per-spec dynamic_update_slice
-        # chains cost a full tau copy per interval on TPU.  Greedy first-fit
-        # in spec order keeps the per-g-point addition order identical to
-        # the sequential reference loop.
-        layers = []  # list of list[(g0, g1, upd)]
+    def place(spec, upd):
+        for layer in layers:
+            if all(spec.gpt_end <= g0 or spec.gpt_start >= g1
+                   for g0, g1, _ in layer):
+                layer.append((spec.gpt_start, spec.gpt_end, upd))
+                return
+        layers.append([(spec.gpt_start, spec.gpt_end, upd)])
 
-        def place(spec, upd):
-            for layer in layers:
-                if all(spec.gpt_end <= g0 or spec.gpt_start >= g1
-                       for g0, g1, _ in layer):
-                    layer.append((spec.gpt_start, spec.gpt_end, upd))
-                    return
-            layers.append([(spec.gpt_start, spec.gpt_end, upd)])
+    atmos = [
+        (kd.minor_lower, kd.kminor_lower_rows, kd.kminor_lower_trows,
+         interp.tropo),
+        (kd.minor_upper, kd.kminor_upper_rows, kd.kminor_upper_trows,
+         jnp.logical_not(interp.tropo)),
+    ]
+    jt = interp.jtemp0  # (ncol, nlay)
 
-        if use_pallas:
-            # One kernel call for ALL intervals of this atmosphere: the
-            # "g" axis is the concatenated contributor axis; je / weights /
-            # scaling broadcast per interval (contributors of one interval
-            # share the interval's flavor).
-            import os
+    if use_pallas and any(specs for specs, *_ in atmos):
+        # ONE kernel call across both atmospheres and all intervals: the
+        # "g" axis is the concatenated contributor axis; je / weights /
+        # scaling broadcast per interval (contributors of one interval
+        # share the interval's flavor; the atmosphere mask is folded into
+        # the scaling plane).
+        import os
 
-            from .pallas import interp_rows_pallas
+        from .pallas import interp_rows_pallas
 
-            def bcast(x_cl, ng):
-                return jnp.broadcast_to(x_cl[:, :, None], (C, L, ng))
-
-            cols, jes2, fms4, scals = [], ([], []), ([], [], [], []), []
+        cols, scal_cols = [], []
+        ordered = []  # (spec,) in lower-then-upper order
+        for specs, _, kminor_trows, mask in atmos:
+            maskf = mask.astype(dtype)
             for spec in specs:
                 ng = spec.gpt_end - spec.gpt_start
                 cols.append(jax.lax.slice_in_dim(
-                    kminor_trows, spec.kminor_start, spec.kminor_start + ng,
-                    axis=2))
-                f = spec.flavor
-                for i in range(2):
-                    jes2[i].append(bcast(interp.jeta0[:, :, i * F + f], ng))
-                for c in range(4):  # (i*2+de)
-                    fms4[c].append(bcast(interp.fminor[:, :, c * F + f], ng))
-                scals.append(bcast(spec_scaling(spec), ng))
+                    kminor_trows, spec.kminor_start,
+                    spec.kminor_start + ng, axis=2))
+                scal_cols.append(spec_scaling(spec, maskf))
+                ordered.append(spec)
 
-            cat = lambda parts: (parts[0] if len(parts) == 1
-                                 else jnp.concatenate(parts, axis=2))
-            tbl = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=2)
-            CT = sum(s.gpt_end - s.gpt_start for s in specs)
-            N = C * L
-            it = np.arange(2, dtype=np.int32)[None, None, :]
-            rows = (jt[:, :, None] + it).reshape(N, 2)
-            block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
-            ltau_all = interp_rows_pallas(
-                tbl, rows.astype(jnp.int32),
-                tuple(cat(p).reshape(N, CT).astype(jnp.int32) for p in jes2),
-                tuple(cat(p).reshape(N, CT) for p in fms4),
-                neta=kd.neta, block=block, corner_itemp=(0, 1))
-            upd_all = (ltau_all.reshape(C, L, CT)
-                       * cat(scals))
-            off = 0
-            for spec in specs:
-                ng = spec.gpt_end - spec.gpt_start
-                place(spec, jax.lax.slice_in_dim(upd_all, off, off + ng,
-                                                 axis=2))
-                off += ng
-            specs_iter = ()
-        else:
-            specs_iter = specs
+        tbl = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=2)
+        CT = sum(sp.gpt_end - sp.gpt_start for sp in ordered)
+        N = C * L
 
-        for spec in specs_iter:
-            scaling = spec_scaling(spec)
-
+        # Per-contributor planes via one-hot placement matmuls (MXU; a
+        # single nonzero product per output stays exact): flavors -> CT for
+        # je / fminor, interval -> CT for the scaling.
+        Mf = np.zeros((F, CT), np.float32)
+        Ms = np.zeros((len(ordered), CT), np.float32)
+        off = 0
+        for k_s, spec in enumerate(ordered):
             ng = spec.gpt_end - spec.gpt_start
-            tbl = jax.lax.slice_in_dim(kminor_rows, spec.kminor_start,
-                                       spec.kminor_start + ng, axis=2)
-            # rows r_i = jeta0[f, i]*ntemp + jtemp0 + i  (i = temperature pair)
-            f = spec.flavor
-            je = jnp.stack([interp.jeta0[:, :, f],
-                            interp.jeta0[:, :, F + f]], axis=-1)  # (C,L,2)
-            it = np.arange(2, dtype=np.int32)[None, None, :]
-            rows = je * ntemp + jt[:, :, None] + it      # (ncol, nlay, 2)
-            slab = jnp.take(tbl, rows, axis=0)           # (C,L,2i,2de,ng)
+            Mf[spec.flavor, off:off + ng] = 1.0
+            Ms[k_s, off:off + ng] = 1.0
+            off += ng
+        Mf = jnp.asarray(Mf, dtype)
+        Ms = jnp.asarray(Ms, dtype)
 
-            fm = interp.fminor                           # flat (i*2+de)*F+f
-            ltau = (fm[:, :, 0 * F + f, None] * slab[:, :, 0, 0]
-                    + fm[:, :, 1 * F + f, None] * slab[:, :, 0, 1]) + (
-                   fm[:, :, 2 * F + f, None] * slab[:, :, 1, 0]
-                    + fm[:, :, 3 * F + f, None] * slab[:, :, 1, 1])
-            upd = ltau * scaling[:, :, None]
-            place(spec, upd)
+        def flav_plane(x_clF):   # (C, L, F) -> (N, CT)
+            return jnp.matmul(x_clF, Mf, precision="highest").reshape(N, CT)
 
-        for layer in layers:
-            pieces = []
-            at = 0
-            for g0, g1, upd in sorted(layer, key=lambda t: t[0]):
-                if g0 > at:
-                    pieces.append(jnp.zeros((C, L, g0 - at), dtype))
-                pieces.append(upd)
-                at = g1
-            if at < G:
-                pieces.append(jnp.zeros((C, L, G - at), dtype))
-            plane = pieces[0] if len(pieces) == 1 else jnp.concatenate(
-                pieces, axis=2)
-            tau = tau + plane
+        jes2 = tuple(
+            jnp.round(flav_plane(
+                interp.jeta0[:, :, i * F:(i + 1) * F].astype(dtype)))
+            .astype(jnp.int32) for i in range(2))
+        fms4 = tuple(flav_plane(interp.fminor[:, :, c * F:(c + 1) * F])
+                     for c in range(4))
+        scal_plane = jnp.matmul(
+            jnp.stack(scal_cols, axis=2), Ms,
+            precision="highest").reshape(N, CT)
+
+        it = np.arange(2, dtype=np.int32)[None, None, :]
+        rows = (jt[:, :, None] + it).reshape(N, 2)
+        block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
+        ltau_all = interp_rows_pallas(
+            tbl, rows.astype(jnp.int32), jes2, fms4,
+            neta=kd.neta, block=block, corner_itemp=(0, 1))
+        upd_all = (ltau_all * scal_plane).reshape(C, L, CT)
+        off = 0
+        for spec in ordered:
+            ng = spec.gpt_end - spec.gpt_start
+            place(spec, jax.lax.slice_in_dim(upd_all, off, off + ng, axis=2))
+            off += ng
+    elif not use_pallas:
+        for specs, kminor_rows, _, mask in atmos:
+            maskf = mask.astype(dtype)
+            for spec in specs:
+                scaling = spec_scaling(spec, maskf)
+
+                ng = spec.gpt_end - spec.gpt_start
+                tbl = jax.lax.slice_in_dim(kminor_rows, spec.kminor_start,
+                                           spec.kminor_start + ng, axis=2)
+                # rows r_i = jeta0[f, i]*ntemp + jtemp0 + i
+                f = spec.flavor
+                je = jnp.stack([interp.jeta0[:, :, f],
+                                interp.jeta0[:, :, F + f]], axis=-1)
+                it = np.arange(2, dtype=np.int32)[None, None, :]
+                rows = je * ntemp + jt[:, :, None] + it   # (ncol, nlay, 2)
+                slab = jnp.take(tbl, rows, axis=0)        # (C,L,2i,2de,ng)
+
+                fm = interp.fminor                        # flat (i*2+de)*F+f
+                ltau = (fm[:, :, 0 * F + f, None] * slab[:, :, 0, 0]
+                        + fm[:, :, 1 * F + f, None] * slab[:, :, 0, 1]) + (
+                       fm[:, :, 2 * F + f, None] * slab[:, :, 1, 0]
+                        + fm[:, :, 3 * F + f, None] * slab[:, :, 1, 1])
+                place(spec, ltau * scaling[:, :, None])
+
+    for layer in layers:
+        pieces = []
+        at = 0
+        for g0, g1, upd in sorted(layer, key=lambda t: t[0]):
+            if g0 > at:
+                pieces.append(jnp.zeros((C, L, g0 - at), dtype))
+            pieces.append(upd)
+            at = g1
+        if at < G:
+            pieces.append(jnp.zeros((C, L, G - at), dtype))
+        plane = pieces[0] if len(pieces) == 1 else jnp.concatenate(
+            pieces, axis=2)
+        tau = tau + plane
     return tau
 
 

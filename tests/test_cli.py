@@ -60,3 +60,37 @@ def test_checker_detects_differences(allsky_dir, tmp_path, monkeypatch):
     assert compare(str(tmp_path / "a.nc"), str(tmp_path / "a.nc"), verbose=False)
     assert not compare(str(tmp_path / "a.nc"), str(tmp_path / "b.nc"),
                        verbose=False)
+
+
+def test_cli_bw_cloud_cam(tmp_path_factory, monkeypatch):
+    """Backward-renderer CLI with --cloud-cam: camera images + per-pixel
+    cloud-path outputs are written and finite."""
+    from rte_rrtmgp_tpu.cli_bw import main as bw_main
+    from rte_rrtmgp_tpu.tools.set_virtual_camera import main as cam_main
+
+    d = tmp_path_factory.mktemp("bwcam")
+    make_case_files(str(d), "allsky", gpt_per_band=2)
+    monkeypatch.chdir(d)
+
+    # Rewrite the input with a 3D grid + camera (allsky case is 24x1 cols).
+    import rte_rrtmgp_tpu.cases.inputs as ci
+    from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+
+    atm = make_atmosphere(4 * 6, 16, seed=11)
+    ci.write_input_nc("rte_rrtmgp_input.nc", atm, n_col_x=6, n_col_y=4,
+                      rt_grid={"nz": 8})
+    cam_main(["--name", "rte_rrtmgp_input.nc", "--toa", "--nx", "6",
+              "--ny", "4"])
+
+    rc = bw_main(["--broadband", "--bw-raytracing", "4", "--cloud-optics",
+                  "--cloud-cam", "--gpt-chunk", "8"])
+    assert rc == 0
+    with NcReader("rte_rrtmgp_output.nc") as nc:
+        rad = nc.read("radiance")
+        assert rad.shape == (4, 6) and np.isfinite(rad).all()
+        liwp = nc.read("liq_ice_wp_cam")
+        tauc = nc.read("tau_cld_cam")
+        dist = nc.read("dist_cld_cam")
+        assert np.isfinite(liwp).all() and liwp.max() > 0
+        assert np.isfinite(tauc).all()
+        assert (dist[liwp > 0] >= 0).all()
