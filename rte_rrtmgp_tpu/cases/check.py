@@ -22,6 +22,9 @@ def compare(test_path: str, ref_path: str, variables=None,
     ok = True
     with NcReader(test_path) as t, NcReader(ref_path) as r:
         names = variables or [v for v in DEFAULT_VARS if t.has(v) and r.has(v)]
+        if not names:
+            print("no flux variables in common — nothing compared")
+            return False
         for name in names:
             if not (t.has(name) and r.has(name)):
                 if verbose:

