@@ -52,7 +52,12 @@ def write_input_nc(path: str, atm: dict, n_col_x: int, n_col_y: int = 1,
                  ("y", "x", "band_lw"))
         nc.write("t_sfc", atm["t_sfc"].reshape(n_col_y, n_col_x), ("y", "x"))
 
-        nc.write("mu0", atm["mu0"].reshape(n_col_y, n_col_x), ("y", "x"))
+        # 3D ray-traced cases have ONE sun: the tracer takes a single
+        # direction (reference uses mu0({1}), Radiation_solver_rt.cu), so a
+        # per-column mu0 would make the 1D two-stream inconsistent with it.
+        mu0 = (np.full(ncol, np.cos(rt_grid.get("sza", 0.5)))
+               if rt_grid is not None else atm["mu0"])
+        nc.write("mu0", mu0.reshape(n_col_y, n_col_x), ("y", "x"))
         nc.write("sfc_alb_dir",
                  np.full((n_col_y, n_col_x, nbnd_sw), atm["sfc_alb_dir"]),
                  ("y", "x", "band_sw"))
