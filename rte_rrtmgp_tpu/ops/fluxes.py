@@ -36,20 +36,18 @@ def expand_bands_to_gpt(arr_bnd, gpt2band):
     (reference ``expand_and_transpose``, src/Rte_lw.cpp:204-217 — our arrays
     are already column-major-free so no transpose is needed).
 
-    g-points of one band are contiguous, so this lowers to static
-    slice+broadcast+concat — never a gather (slow scalar path on TPU)."""
+    Implemented as a one-hot placement matmul (exactly one nonzero product
+    per output, so exact in any matmul precision): on TPU this is a single
+    MXU pass instead of a gather (slow scalar path) or a chain of
+    per-band broadcast+concat pieces."""
     import jax.numpy as jnp
 
-    idx = np.asarray(gpt2band, dtype=np.int32)
-    # Decompose into contiguous runs of equal band index.
-    run_starts = np.flatnonzero(np.diff(idx, prepend=idx[0] - 1))
-    run_lens = np.diff(run_starts, append=idx.shape[0])
-    pieces = []
-    for s, n in zip(run_starts, run_lens):
-        b = int(idx[s])
-        pieces.append(jnp.broadcast_to(arr_bnd[..., b:b + 1],
-                                       arr_bnd.shape[:-1] + (int(n),)))
-    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=-1)
+    idx = np.asarray(gpt2band, dtype=np.int64)
+    nbnd = arr_bnd.shape[-1]
+    onehot = np.zeros((nbnd, idx.shape[0]), dtype=np.float32)
+    onehot[idx, np.arange(idx.shape[0])] = 1.0
+    return jnp.matmul(arr_bnd, jnp.asarray(onehot, arr_bnd.dtype),
+                      precision="highest")
 
 
 def heating_rate(flux_up, flux_dn, plev, grav=9.80665, cp=1004.64):
