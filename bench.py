@@ -34,7 +34,14 @@ GPT_CHUNK = int(GPT_CHUNK) if GPT_CHUNK not in ("", "none", "None") else None
 # synchronized) timing on the single v5e chip (2026-08-16): the pure-XLA
 # element-gather path ran the 2048x72 all-sky lw+sw step in 23.6 s
 # = 4.17e4 col*gpt/s.  That is the fixed baseline for vs_baseline.
-R1_BASELINE_COLGPT_PER_S = 4.17e4
+#
+# The same build had earlier been recorded at 8.19e6 col*gpt/s (120 ms/step)
+# using `block_until_ready`-based timing; on this tunneled runtime that call
+# resolves WITHOUT a device sync and identical dispatches are deduplicated,
+# so that number measured dispatch overhead, not the solve.  Both constants
+# are kept and reported so the correction is auditable from the output.
+R1_BASELINE_COLGPT_PER_S = 4.17e4            # fetch-synchronized (current)
+R1_BASELINE_OLD_METHOD_COLGPT_PER_S = 8.19e6  # block_until_ready (invalid)
 
 
 def main():
@@ -83,6 +90,14 @@ def main():
         "value": round(colgpt_per_s, 1),
         "unit": "col*gpt/s",
         "vs_baseline": round(colgpt_per_s / baseline, 3),
+        "baselines": {
+            "r1_fetch_synced_colgpt_per_s": R1_BASELINE_COLGPT_PER_S,
+            "r1_block_until_ready_colgpt_per_s":
+                R1_BASELINE_OLD_METHOD_COLGPT_PER_S,
+            "note": "vs_baseline uses the fetch-synced value; the "
+                    "block_until_ready number is a dedup artifact "
+                    "(see module docstring)",
+        },
         "ms_per_step": round(ms_per_step, 2),
         "platform": jax.devices()[0].platform,
     }))

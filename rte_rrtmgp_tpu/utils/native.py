@@ -189,6 +189,15 @@ class NativeNcWriter:
         data = np.ascontiguousarray(data)
         if data.dtype == np.bool_:
             data = data.astype(np.int8)
+        if data.dtype in (np.dtype(np.int64), np.dtype(np.uint64)):
+            # The native writer emits CDF-2, where NC_INT64/NC_UINT64 are
+            # invalid (CDF-5-only type codes); downcast with a range check.
+            if (data.min(initial=0) < np.iinfo(np.int32).min
+                    or data.max(initial=0) > np.iinfo(np.int32).max):
+                raise ValueError(
+                    f"variable {name!r}: int64 values out of int32 range; "
+                    "CDF-2 output cannot represent them")
+            data = data.astype(np.int32)
         if data.dtype not in _NP2NC:
             data = data.astype(np.float64)
         dimids = (ctypes.c_int * max(len(dims), 1))()

@@ -203,9 +203,10 @@ bool parse_header(File& f, const std::vector<uint8_t>& hdr) {
       Var v;
       v.name = c.name(f.version);
       int64_t nd = c.nonneg(f.version);
+      // Per spec, each per-variable dimid is itself a NON_NEG field:
+      // 4 bytes in CDF-1/2, 8 bytes in CDF-5.
       for (int64_t k = 0; k < nd && c.ok; ++k)
-        v.dimids.push_back((int32_t)(f.version == 5 ? (int64_t)c.u32()
-                                                    : (int32_t)c.u32()));
+        v.dimids.push_back((int32_t)c.nonneg(f.version));
       v.atts = parse_att_list(c, f.version);
       v.type = (int32_t)c.u32();
       v.vsize = c.nonneg(f.version);
@@ -252,6 +253,16 @@ int64_t elem_count(const Var& v) {
   int64_t n = 1;
   for (int64_t s : v.shape) n *= s;
   return n;
+}
+
+// 64-bit-clean seek: CDF-2/CDF-5 begin offsets exceed 2 GiB; a plain
+// fseek(long) would truncate them on ILP32 platforms.
+int nc_seek(FILE* fp, int64_t off) {
+#if defined(_WIN32)
+  return _fseeki64(fp, off, SEEK_SET);
+#else
+  return fseeko(fp, (off_t)off, SEEK_SET);
+#endif
 }
 
 }  // namespace
@@ -338,7 +349,7 @@ int rrtmgp_nc_read_var(void* h, int i, void* dst, long long dst_bytes) {
 
   uint8_t* out = (uint8_t*)dst;
   if (!v.is_record) {
-    if (fseek(f->fp, (long)v.begin, SEEK_SET) != 0) return -3;
+    if (nc_seek(f->fp, v.begin) != 0) return -3;
     if (fread(out, 1, (size_t)(es * n), f->fp) != (size_t)(es * n)) return -3;
   } else {
     int64_t per_rec_elems = 1;
@@ -346,7 +357,7 @@ int rrtmgp_nc_read_var(void* h, int i, void* dst, long long dst_bytes) {
     int64_t per_rec_bytes = per_rec_elems * (int64_t)es;
     int64_t nrec = v.shape.empty() ? 0 : v.shape[0];
     for (int64_t r = 0; r < nrec; ++r) {
-      if (fseek(f->fp, (long)(v.begin + r * f->recsize), SEEK_SET) != 0) return -3;
+      if (nc_seek(f->fp, v.begin + r * f->recsize) != 0) return -3;
       if (fread(out + r * per_rec_bytes, 1, (size_t)per_rec_bytes, f->fp)
           != (size_t)per_rec_bytes) return -3;
     }

@@ -115,6 +115,90 @@ def test_large_offsets_many_vars(tmp_path):
             np.testing.assert_array_equal(f.read(name), arr)
 
 
+def _pack_cdf5(path, arrays):
+    """Hand-construct a CDF-5 file (8-byte NON_NEG fields everywhere,
+    including per-variable dimids) so the reader's width handling is
+    exercised against an independent encoding of the spec."""
+    import struct
+
+    def be(fmt, *v):
+        return struct.pack(">" + fmt, *v)
+
+    def name(s):
+        b = s.encode()
+        return be("q", len(b)) + b + b"\x00" * (-len(b) % 4)
+
+    dims = []          # (name, len)
+    dim_ids = {}
+    for arr_dims, arr in arrays.values():
+        for dn, sz in zip(arr_dims, arr.shape):
+            if dn not in dim_ids:
+                dim_ids[dn] = len(dims)
+                dims.append((dn, sz))
+
+    hdr = b"CDF\x05" + be("q", 0)                       # magic + numrecs
+    hdr += be("i", 0x0A) + be("q", len(dims))           # dim_list
+    for dn, sz in dims:
+        hdr += name(dn) + be("q", sz)
+    hdr += be("i", 0) + be("q", 0)                      # gatt_list absent
+    hdr += be("i", 0x0B) + be("q", len(arrays))         # var_list
+
+    NP2NC = {np.dtype(np.float64): 6, np.dtype(np.int64): 10,
+             np.dtype(np.float32): 5}
+    bodies, var_hdrs = [], []
+    for vn, (arr_dims, arr) in arrays.items():
+        vh = name(vn) + be("q", len(arr_dims))
+        for dn in arr_dims:
+            vh += be("q", dim_ids[dn])                  # 8-byte dimids!
+        vh += be("i", 0) + be("q", 0)                   # vatt_list absent
+        vh += be("i", NP2NC[arr.dtype])
+        payload = arr.astype(arr.dtype.newbyteorder(">")).tobytes()
+        payload += b"\x00" * (-len(payload) % 4)
+        vh += be("q", len(payload))                     # vsize
+        var_hdrs.append(vh)
+        bodies.append(payload)
+
+    fixed = len(hdr) + sum(len(v) + 8 for v in var_hdrs)  # +8 per begin
+    at, out = fixed, hdr
+    for vh, body in zip(var_hdrs, bodies):
+        out += vh + be("q", at)
+        at += len(body)
+    with open(path, "wb") as fp:
+        fp.write(out + b"".join(bodies))
+
+
+def test_cdf5_reader(tmp_path):
+    """CDF-5 dimensioned variables: per-var dimids are 8 bytes on disk."""
+    path = str(tmp_path / "v5.nc")
+    rng = np.random.default_rng(3)
+    arrays = {
+        "tau": (("lay", "gpt"), rng.random((6, 16))),
+        "idx": (("gpt",), rng.integers(0, 9, (16,)).astype(np.int64)),
+        "t": (("lay",), rng.random((6,)).astype(np.float32)),
+    }
+    _pack_cdf5(path, arrays)
+    with native.NativeNcFile(path) as f:
+        assert f.dims() == {"lay": 6, "gpt": 16}
+        for vn, (_, arr) in arrays.items():
+            got = f.read(vn)
+            assert got.dtype == arr.dtype
+            np.testing.assert_array_equal(got, arr)
+
+
+def test_writer_rejects_unrepresentable_int64(tmp_path):
+    """CDF-2 output: int64 within int32 range downcasts, overflow raises."""
+    path = str(tmp_path / "i64.nc")
+    with native.NativeNcWriter(path) as w:
+        w.write("ok", np.array([1, -2, 3], dtype=np.int64), ("n",))
+        with pytest.raises(ValueError, match="int32 range"):
+            w.write("bad", np.array([2**40], dtype=np.int64), ("m",))
+        w.write("m_fill", np.array([0], dtype=np.int32), ("m",))
+    with native.NativeNcFile(path) as f:
+        got = f.read("ok")
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got, [1, -2, 3])
+
+
 def test_unaligned_payload_padding(tmp_path):
     """int16 arrays with odd element counts exercise the 4-byte padding."""
     path = str(tmp_path / "pad.nc")

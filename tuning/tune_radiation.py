@@ -8,26 +8,33 @@ LW+SW step, persists the winner to the tuner cache
 (``utils/tuner.py`` -> ``~/.cache/rte_rrtmgp_tpu/tuning.json``), and prints
 the table.
 
+Each candidate runs in its OWN subprocess with RTE_RRTMGP_PALLAS /
+RTE_RRTMGP_PALLAS_BLOCK set before import: those knobs are read at trace
+time inside jitted impls whose caches key only on avals/static args, so
+flipping env vars in-process would silently reuse the first-traced
+executable and time identical programs.
+
 Usage: python tuning/tune_radiation.py [ncol] [nlay]
 """
 
+import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
-NCOL = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-NLAY = int(sys.argv[2]) if len(sys.argv) > 2 else 72
+NCOL = int(os.environ.get("TUNE_NCOL", "2048"))
+NLAY = int(os.environ.get("TUNE_NLAY", "72"))
 ITERS = 4
 
 
 def measure(fn, args, t_lay0):
     """Fetch-synchronized timing with value-varying chained inputs."""
-    import jax
-
     args = list(args)
     out = fn(*args)
     warm = float(np.asarray(out["lw_flux_up"]).ravel()[0])
@@ -40,11 +47,11 @@ def measure(fn, args, t_lay0):
     return (time.perf_counter() - t0) / ITERS
 
 
-def main():
+def run_candidate(cand):
+    """Time one candidate in this process (env already applied by parent)."""
     import jax
 
     import __graft_entry__ as ge
-    from rte_rrtmgp_tpu.utils import tuner
 
     kd_lw, kd_sw, clut_lw, clut_sw = ge._build(gpt_per_band=16)
     arrs = ge._atmos_arrays(ncol=NCOL, nlay=NLAY)
@@ -53,6 +60,14 @@ def main():
              "lwp", "iwp", "rel", "dei")
     args = [jax.device_put(arrs[k]) for k in names]
     t_lay0 = args[2]
+    step = ge.make_step(kd_lw, kd_sw, clut_lw, clut_sw,
+                        gpt_chunk=cand["gpt_chunk"])
+    # Best of 2 measurement batches (tunnel stalls are uncorrelated).
+    return min(measure(jax.jit(step), args, t_lay0) for _ in range(2))
+
+
+def main():
+    from rte_rrtmgp_tpu.utils import tuner
 
     candidates = []
     for chunk in (64, 128):
@@ -64,18 +79,27 @@ def main():
 
     results = []
     for cand in candidates:
-        os.environ["RTE_RRTMGP_PALLAS"] = str(cand["pallas"])
-        os.environ["RTE_RRTMGP_PALLAS_BLOCK"] = str(cand["block"] or 256)
-        step = ge.make_step(kd_lw, kd_sw, clut_lw, clut_sw,
-                            gpt_chunk=cand["gpt_chunk"])
-        try:
-            dt = measure(jax.jit(step), args, t_lay0)
-        except Exception as e:
-            print(f"{cand}: FAILED ({type(e).__name__})", flush=True)
+        env = dict(os.environ)
+        env["RTE_RRTMGP_PALLAS"] = str(cand["pallas"])
+        env["RTE_RRTMGP_PALLAS_BLOCK"] = str(cand["block"] or 256)
+        env["TUNE_NCOL"], env["TUNE_NLAY"] = str(NCOL), str(NLAY)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             json.dumps(cand)],
+            env=env, capture_output=True, text=True, timeout=900, cwd=_REPO)
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("RESULT ")), None)
+        if proc.returncode != 0 or line is None:
+            tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+            print(f"{cand}: FAILED ({' | '.join(tail)})", flush=True)
             continue
+        dt = float(line.split()[1])
         results.append((dt, cand))
         print(f"{cand}: {dt*1e3:8.2f} ms", flush=True)
 
+    if not results:
+        print("no candidate succeeded")
+        sys.exit(1)
     results.sort(key=lambda r: r[0])
     best_dt, best = results[0]
     print(f"\nwinner: {best} ({best_dt*1e3:.2f} ms)")
@@ -93,4 +117,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        print(f"RESULT {run_candidate(json.loads(sys.argv[2]))}")
+    else:
+        if len(sys.argv) > 1:
+            NCOL = int(sys.argv[1])
+        if len(sys.argv) > 2:
+            NLAY = int(sys.argv[2])
+        main()
