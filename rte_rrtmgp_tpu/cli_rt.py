@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     p.add_argument("--raytracing", type=int, default=32,
                    help="photons per pixel")
     p.add_argument("--two-stream", action="store_true")
+    p.add_argument("--output-bnd-fluxes", action="store_true",
+                   help="also write per-band fluxes (Fluxes_byband_rt)")
     p.add_argument("--independent-column", action="store_true")
     p.add_argument("--cloud-optics", action="store_true")
     p.add_argument("--liq-cloud-optics", action="store_true")
@@ -178,6 +180,7 @@ def main(argv=None) -> int:
         twostream=args.two_stream, raytracing=True,
         delta_cloud=args.delta_cloud, delta_aerosol=args.delta_aerosol,
         gpt_chunk=args.gpt_chunk, single_gpt=args.single_gpt,
+        output_bnd_fluxes=args.output_bnd_fluxes,
         key=jax.random.PRNGKey(args.seed),
         **clouds, **aerosols)
     float(np.asarray(out.rt_flux_tod_up).ravel()[0])  # host fetch = sync
@@ -227,7 +230,10 @@ def main(argv=None) -> int:
     with NcWriter(args.output) as w:
         w.def_dim("x", nx)
         w.def_dim("y", ny)
-        w.def_dim("z", nz)
+        # nz+1 when the atmosphere extends above the domain: the last layer
+        # is the integrated above-domain (TOD) cell, matching the
+        # reference's grid_cells.z = n_z_in+1 (test_rte_rrtmgp_rt.cu:334).
+        w.def_dim("z", np.asarray(out.rt_flux_abs_dir).shape[0])
         w.def_dim("lev", nlev)
         for name in ("rt_flux_tod_dn", "rt_flux_tod_up", "rt_flux_sfc_dir",
                      "rt_flux_sfc_dif", "rt_flux_sfc_up"):
@@ -240,6 +246,20 @@ def main(argv=None) -> int:
             for name in ("sw_flux_up", "sw_flux_dn", "sw_flux_dn_dir"):
                 arr = np.asarray(getattr(out, name))  # (ncol, nlev)
                 w.write(name, arr.T.reshape(nlev, ny, nx), ("lev", "y", "x"))
+        if args.output_bnd_fluxes:
+            w.def_dim("band_sw", kd.nbnd if args.single_gpt is None else 1)
+            for name in ("rt_bnd_flux_tod_dn", "rt_bnd_flux_tod_up",
+                         "rt_bnd_flux_sfc_dir", "rt_bnd_flux_sfc_dif",
+                         "rt_bnd_flux_sfc_up"):
+                w.write(name, np.asarray(getattr(out, name)),
+                        ("band_sw", "y", "x"))
+            if args.two_stream:
+                for name in ("sw_bnd_flux_up", "sw_bnd_flux_dn",
+                             "sw_bnd_flux_dn_dir"):
+                    arr = np.asarray(getattr(out, name))  # (ncol, nlev, nbnd)
+                    w.write(name,
+                            arr.transpose(2, 1, 0).reshape(-1, nlev, ny, nx),
+                            ("band_sw", "lev", "y", "x"))
         if lw_out is not None:
             for name in ("lw_flux_up", "lw_flux_dn", "lw_flux_net"):
                 arr = np.asarray(lw_out[name])

@@ -9,8 +9,12 @@ TPU-native equivalent of ``Radiation_solver_shortwave::solve_gpu`` in
   compiled ``lax.scan`` over the spectral axis drives the Monte-Carlo
   tracer and the per-g-point flux accumulation (``add_from_gpoint``,
   ``src_kernels_cuda_rt/gpt_combine_kernels_rt.cu``),
-* everything above the dynamic 3D domain is compressed into the top domain
-  cell (``bundles_optical_props_tod``, Raytracer.cu:111-166),
+* when the atmosphere extends above the dynamic 3D domain, the ray-traced
+  grid gets ONE extra cell on top (``n_z = n_z_in+1``,
+  ``test_rte_rrtmgp_rt.cu:334``) whose optical properties integrate every
+  above-domain layer (``bundles_optical_props_tod``, Raytracer.cu:111-166);
+  photons launch above it, so it attenuates the incoming beam while
+  in-domain cells keep their exact per-layer absorption,
 * the optional 1D two-stream pass reuses the standard SW solver.
 
 Domain conventions: columns are an (ny, nx) raster with column index
@@ -41,18 +45,33 @@ class RTFluxes(NamedTuple):
     rt_flux_sfc_dir: object
     rt_flux_sfc_dif: object
     rt_flux_sfc_up: object
-    rt_flux_abs_dir: object  # (nz, ny, nx)
+    # (nz_rt, ny, nx) with nz_rt = nz+1 when the atmosphere extends above
+    # the domain: the last layer is the above-domain (TOD) integral cell,
+    # mirroring the reference's Fluxes_broadband_rt sized grid_cells.z.
+    rt_flux_abs_dir: object
     rt_flux_abs_dif: object
     # broadband two-stream fluxes (None unless requested)
     sw_flux_up: object
     sw_flux_dn: object
     sw_flux_dn_dir: object
+    # by-band outputs (None unless output_bnd_fluxes; reference
+    # Fluxes_byband_rt, include_rt/Fluxes_rt.h:113-142 — extended here to
+    # the ray-traced accumulators as well)
+    sw_bnd_flux_up: object = None       # (ncol, nlev, nbnd)
+    sw_bnd_flux_dn: object = None
+    sw_bnd_flux_dn_dir: object = None
+    rt_bnd_flux_tod_dn: object = None   # (nbnd, ny, nx)
+    rt_bnd_flux_tod_up: object = None
+    rt_bnd_flux_sfc_dir: object = None
+    rt_bnd_flux_sfc_dif: object = None
+    rt_bnd_flux_sfc_up: object = None
 
 
 @functools.partial(jax.jit, static_argnames=(
     "grid_cells", "photons_per_pixel", "kn_grid", "independent_column",
     "gpt_chunk", "with_twostream", "with_raytracing", "with_clouds",
-    "with_aerosols", "delta_cloud", "delta_aerosol", "with_mie"))
+    "with_aerosols", "delta_cloud", "delta_aerosol", "with_mie",
+    "output_bnd_fluxes"))
 def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
                    p_lay, p_lev, t_lay, vmr, col_dry,
                    sfc_alb_dir, sfc_alb_dif, tsi_scaling, mu0, azi,
@@ -63,7 +82,8 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
                    with_twostream: bool, with_raytracing: bool,
                    with_clouds: bool, with_aerosols: bool,
                    delta_cloud: bool, delta_aerosol: bool,
-                   with_mie: bool = False):
+                   with_mie: bool = False,
+                   output_bnd_fluxes: bool = False):
     nz, ny, nx = grid_cells
     ncol, nlay = p_lay.shape
     dtype = p_lay.dtype
@@ -91,6 +111,8 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
     ts_up = jnp.zeros((ncol, nlay + 1), dtype)
     ts_dn = jnp.zeros((ncol, nlay + 1), dtype)
     ts_dir = jnp.zeros((ncol, nlay + 1), dtype)
+    bnd_ts = (jnp.zeros((ncol, nlay + 1, kd.nbnd), dtype),) * 3 \
+        if (output_bnd_fluxes and with_twostream) else None
 
     for g0 in range(0, kd.ngpt, step):
         g1 = min(g0 + step, kd.ngpt)
@@ -123,17 +145,27 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
             ts_up = ts_up + flux_ops.sum_broadband(up)
             ts_dn = ts_dn + flux_ops.sum_broadband(dn)
             ts_dir = ts_dir + flux_ops.sum_broadband(fdir)
+            if bnd_ts is not None:
+                bnd_ts = tuple(
+                    acc + flux_ops.sum_byband(f, kdc.gpt2band, kd.nbnd)
+                    for acc, f in zip(bnd_ts, (up, dn, fdir)))
 
     day = (mu0 > 0.0).astype(dtype)[:, None]
     ts_out = ((flip(ts_up) * day, flip(ts_dn) * day, flip(ts_dir) * day)
               if with_twostream else (None, None, None))
+    bnd_ts_out = (tuple(flip(a) * day[:, :, None] for a in bnd_ts)
+                  if bnd_ts is not None else (None, None, None))
     # two-stream outputs flipped back to surface-at-0 level ordering.
+
+    # Ray-traced grid height: one extra integrated cell above the domain
+    # when the atmosphere extends past it (test_rte_rrtmgp_rt.cu:334).
+    nz_rt = nz + 1 if nz < nlay else nz
 
     if not with_raytracing:
         zeros2 = jnp.zeros((ny, nx), dtype)
-        zeros3 = jnp.zeros((nz, ny, nx), dtype)
+        zeros3 = jnp.zeros((nz_rt, ny, nx), dtype)
         return RTFluxes(zeros2, zeros2, zeros2, zeros2, zeros2, zeros3, zeros3,
-                        *ts_out)
+                        *ts_out, *bnd_ts_out)
 
     gas_tau = jnp.concatenate(gas_tau_parts, axis=-1)   # (ncol, nlay, ngpt)
     gas_ssa = jnp.concatenate(gas_ssa_parts, axis=-1)
@@ -156,18 +188,25 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
         -jnp.sin(zen) * jnp.sin(0.5 * jnp.pi - azi[0]),
         -jnp.cos(zen)])
 
-    def to3d(col_field_lay):  # (ncol, nz) -> (nz, ny, nx)
-        return col_field_lay.T.reshape(nz, ny, nx)
+    def to3d(col_field_lay):  # (ncol, nz_rt) -> (nz_rt, ny, nx)
+        return col_field_lay.T.reshape(nz_rt, ny, nx)
 
-    alb2d = sfc_alb_dir[:, 0].reshape(ny, nx)  # overwritten per band below
-    rel3d = to3d(rel[:, :nz]) if with_clouds else jnp.zeros((nz, ny, nx), dtype)
+    if with_clouds:
+        # No clouds above the domain: zero r_eff in the extra TOD cell.
+        rel3d = to3d(jnp.concatenate(
+            [rel[:, :nz], jnp.zeros((ncol, nz_rt - nz), dtype)], axis=1))
+    else:
+        rel3d = jnp.zeros((nz_rt, ny, nx), dtype)
 
-    def tod_compress(tau, extra):
-        """Sum the top domain cell and everything above into layer nz-1.
-        tau: (ncol, nlay) weighted quantity; returns (ncol, nz)."""
-        low = tau[:, :nz - 1]
-        top = tau[:, nz - 1:].sum(axis=1, keepdims=True)
-        return jnp.concatenate([low, top], axis=1)
+    def tod_compress(q):
+        """(ncol, nlay) -> (ncol, nz_rt): in-domain cells keep their exact
+        per-layer values; the extra top cell (if any) integrates every
+        above-domain layer into one cell of height dz
+        (bundles_optical_props_tod, Raytracer.cu:111-166)."""
+        if nz_rt == nz:
+            return q[:, :nz]
+        top = q[:, nz:].sum(axis=1, keepdims=True)
+        return jnp.concatenate([q[:, :nz], top], axis=1)
 
     def body(acc, xs):
         igpt, tau_g, ssa_g, solar_g = xs
@@ -193,18 +232,18 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
         ssa_tot = tausca / jnp.maximum(tau_tot, 1e-30)
 
         # TOD compression of scattering-weighted quantities.
-        tau_tot_c = tod_compress(tau_tot, None)
-        tausca_c = tod_compress(tausca, None)
+        tau_tot_c = tod_compress(tau_tot)
+        tausca_c = tod_compress(tausca)
         ssa_tot_c = tausca_c / jnp.maximum(tau_tot_c, 1e-30)
-        tau_cld_c = tod_compress(tau_cld, None)
-        tausca_cld_c = tod_compress(tau_cld * ssa_cld, None)
+        tau_cld_c = tod_compress(tau_cld)
+        tausca_cld_c = tod_compress(tau_cld * ssa_cld)
         ssa_cld_c = tausca_cld_c / jnp.maximum(tau_cld_c, 1e-30)
-        asy_cld_c = tod_compress(tau_cld * ssa_cld * g_cld, None) \
+        asy_cld_c = tod_compress(tau_cld * ssa_cld * g_cld) \
             / jnp.maximum(tausca_cld_c, 1e-30)
-        tau_aer_c = tod_compress(tau_aer, None)
-        tausca_aer_c = tod_compress(tau_aer * ssa_aer, None)
+        tau_aer_c = tod_compress(tau_aer)
+        tausca_aer_c = tod_compress(tau_aer * ssa_aer)
         ssa_aer_c = tausca_aer_c / jnp.maximum(tau_aer_c, 1e-30)
-        asy_aer_c = tod_compress(tau_aer * ssa_aer * g_aer, None) \
+        asy_aer_c = tod_compress(tau_aer * ssa_aer * g_aer) \
             / jnp.maximum(tausca_aer_c, 1e-30)
 
         k = rt.bundle_optical_props(
@@ -232,15 +271,24 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
             photons_per_pixel=photons_per_pixel,
             independent_column=independent_column, **mie_kw)
 
-        acc = tuple(a + b for a, b in zip(acc, (
-            out.flux_toa_down, out.flux_tod_up, out.flux_sfc_dir,
-            out.flux_sfc_dif, out.flux_sfc_up, out.flux_abs_dir,
-            out.flux_abs_dif)))
-        return acc, None
+        flat = (out.flux_toa_down, out.flux_tod_up, out.flux_sfc_dir,
+                out.flux_sfc_dif, out.flux_sfc_up, out.flux_abs_dir,
+                out.flux_abs_dif)
+        bb = tuple(a + b for a, b in zip(acc[:7], flat))
+        if not output_bnd_fluxes:
+            return bb, None
+        # By-band accumulation of the 2D ray-traced fluxes: one one-hot
+        # outer product per accumulator (Fluxes_byband_rt analog).
+        onehot = jax.nn.one_hot(band, kd.nbnd, dtype=dtype)[:, None, None]
+        bnd = tuple(a + f[None] * onehot for a, f in zip(acc[7:], flat[:5]))
+        return bb + bnd, None
 
     zeros2 = jnp.zeros((ny, nx), dtype)
-    zeros3 = jnp.zeros((nz, ny, nx), dtype)
+    zeros3 = jnp.zeros((nz_rt, ny, nx), dtype)
     acc0 = (zeros2, zeros2, zeros2, zeros2, zeros2, zeros3, zeros3)
+    if output_bnd_fluxes:
+        zb = jnp.zeros((kd.nbnd, ny, nx), dtype)
+        acc0 = acc0 + (zb,) * 5
     xs = (jnp.arange(kd.ngpt, dtype=jnp.int32),
           jnp.moveaxis(gas_tau, 2, 0),
           jnp.moveaxis(gas_ssa, 2, 0),
@@ -249,7 +297,8 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
 
     day0 = (mu0[0] > 0.0).astype(dtype)
     acc = tuple(a * day0 for a in acc)
-    return RTFluxes(*acc, *ts_out)
+    bnd_rt = acc[7:] if output_bnd_fluxes else (None,) * 5
+    return RTFluxes(*acc[:7], *ts_out, *bnd_ts_out, *bnd_rt)
 
 
 class RadiationSolverRT:
@@ -271,6 +320,7 @@ class RadiationSolverRT:
               twostream: bool = False, delta_cloud: bool = False,
               delta_aerosol: bool = False, gpt_chunk: Optional[int] = None,
               single_gpt: Optional[int] = None,
+              output_bnd_fluxes: bool = False,
               key=None, dtype=None) -> RTFluxes:
         """grid_cells = (nz, ny, nx); grid_d = (dz, dy, dx) in meters.
 
@@ -327,4 +377,4 @@ class RadiationSolverRT:
             with_twostream=twostream, with_raytracing=raytracing,
             with_clouds=with_clouds, with_aerosols=with_aerosols,
             delta_cloud=delta_cloud, delta_aerosol=delta_aerosol,
-            with_mie=with_mie)
+            with_mie=with_mie, output_bnd_fluxes=output_bnd_fluxes)

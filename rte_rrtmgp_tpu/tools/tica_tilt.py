@@ -1,16 +1,31 @@
 """TICA (tilted independent column approximation) preprocessing.
 
-Port of the reference's ``src_tilt/tilt_utils.cpp`` essentials: trace the
-sun ray through the periodic 3D grid (``tilted_path``, `:19-176`), re-grid
-every field onto the tilted columns (``create_tilted_columns`` `:662-686`,
-``create_tilted_columns_levlay`` `:778-810``), and restore the untilted
-background profile above the domain top (``restore_bkg_profile``
-`:178-216`).  The tilted columns let a 1D independent-column solver
-approximate slant-path radiative transfer (run the solver with the tilted
-fields, as ``test_rte_rrtmgp_rt --tica`` does).
+Full port of the reference's ``src_tilt/tilt_utils.cpp`` pipeline:
+
+* ``tilted_path`` (`:19-176`) — trace the sun ray through the periodic 3D
+  grid, producing per-segment cell offsets and tilted interface heights;
+* ``tilt_fields``/``create_tilted_columns``(+``_levlay``) (`:516-810`) —
+  re-grid every field onto the tilted columns (center start point);
+* ``compress_fields`` (`:596-662`) — merge the surplus tilted layers back
+  down to the ORIGINAL in-domain layer count: layers below
+  ``compress_lay_start_idx`` are kept 1:1, the remainder pair-merged
+  (Δp-weighted average for concentrations, ``compress_columns_weighted_avg``
+  `:363-428`; level subsampling for p/T, ``compress_columns_p_or_t``
+  `:430-514`);
+* per-column random-start tilting of the cloud fields with water-path
+  conservation (lwp/iwp summed, rel/dei water-weighted;
+  ``tica_tilt`` `:872-1112` + ``post_process_output`` `:333-361`);
+* ``restore_bkg_profile_bundle`` (`:218-331`) — re-append the untilted
+  background profile above the domain so outputs keep the original nlay.
+
+The tilted+compressed columns let a 1D independent-column solver
+approximate slant-path radiative transfer at the original grid size (run
+the solver with the tilted fields, as ``test_rte_rrtmgp_rt --tica`` does).
 
 Host-side NumPy: this is input preprocessing, not device compute (the
-reference runs it on the CPU as well).
+reference runs it on the CPU as well).  Deviation from the reference: the
+per-column random start points use a seeded ``numpy`` RNG (reproducible)
+instead of a wall-clock-seeded mt19937_64.
 """
 
 from __future__ import annotations

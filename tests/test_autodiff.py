@@ -38,6 +38,7 @@ def _lw_olr(kd, atm, vmr, col_dry, t_sfc):
     return flux_ops.sum_broadband(up)[:, 0].sum()   # TOA upward
 
 
+@pytest.mark.slow
 def test_lw_gradient_wrt_tsfc_matches_fd(lw_setup):
     kd, atm, vmr, col_dry = lw_setup
     t_sfc = jnp.asarray(atm["t_sfc"])
@@ -54,6 +55,7 @@ def test_lw_gradient_wrt_tsfc_matches_fd(lw_setup):
     np.testing.assert_allclose(float(g[0]), float(fd), rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_sw_gradient_wrt_vmr_matches_fd(lw_setup):
     """d(surface SW flux)/d(scaling of an absorber column) via the SW
     two-stream path, vs central differences."""

@@ -18,6 +18,7 @@ def allsky_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_cli_allsky_cloudy(allsky_dir, monkeypatch):
     monkeypatch.chdir(allsky_dir)
     rc = cli_main(["--cloud-optics", "--delta-cloud", "--output-bnd-fluxes",
@@ -62,6 +63,7 @@ def test_checker_detects_differences(allsky_dir, tmp_path, monkeypatch):
                        verbose=False)
 
 
+@pytest.mark.slow
 def test_cli_bw_cloud_cam(tmp_path_factory, monkeypatch):
     """Backward-renderer CLI with --cloud-cam: camera images + per-pixel
     cloud-path outputs are written and finite."""

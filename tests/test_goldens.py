@@ -1,0 +1,37 @@
+"""Frozen-golden regression gate (reference: rfmip/check_rfmip.sh:4-5).
+
+Compares the current production f64 fluxes against NetCDF fixtures frozen
+in tests/goldens/ at the reference CI threshold of 5.8e-2 W m-2 max abs
+diff.  Unlike the oracle tests (which regenerate both sides per run), the
+golden side is a committed artifact: a refactor that shifts the physics
+cannot silently move both sides together.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import golden_case
+from rte_rrtmgp_tpu.utils.ncio import NcReader
+
+pytestmark = pytest.mark.slow
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "goldens", "fluxes_f64.nc")
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN),
+                    reason="golden fixture missing (run tests/make_goldens.py)")
+def test_fluxes_match_frozen_goldens():
+    got = golden_case.solve_case()
+    with NcReader(GOLDEN) as nc:
+        missing = [k for k in got if not nc.has(k)]
+        assert not missing, f"golden file lacks {missing} — re-baseline?"
+        worst = {}
+        for name, arr in got.items():
+            ref = nc.read(name)
+            assert ref.shape == arr.shape, name
+            worst[name] = float(np.abs(arr - ref).max())
+    report = ", ".join(f"{k}={v:.2e}" for k, v in sorted(worst.items()))
+    assert max(worst.values()) <= golden_case.THRESHOLD_WM2, report

@@ -39,6 +39,7 @@ def _run(ge, mesh, kd_lw, kd_sw, clut_lw, clut_sw, arrs):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+@pytest.mark.slow
 def test_column_sharding_matches_single_device(setup):
     ge, kd_lw, kd_sw, clut_lw, clut_sw, arrs = setup
     mesh1 = make_mesh((1,), ("cols",), devices=jax.devices()[:1])
@@ -49,6 +50,7 @@ def test_column_sharding_matches_single_device(setup):
         np.testing.assert_allclose(out8[k], out1[k], rtol=1e-12, err_msg=k)
 
 
+@pytest.mark.slow
 def test_spectral_sharding_allreduce(setup):
     """cols x gpt mesh: spectral tables sharded, broadband reduction crosses
     devices; results must match the columns-only layout."""

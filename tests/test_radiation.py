@@ -33,6 +33,7 @@ def _atm():
     return make_atmosphere(NCOL, NLAY, seed=2)
 
 
+@pytest.mark.slow
 def test_lw_chunked_equals_unchunked():
     kd, clut, _ = _luts(True)
     atm = _atm()
@@ -52,6 +53,7 @@ def test_lw_chunked_equals_unchunked():
     assert np.isfinite(np.asarray(full["lw_flux_net"])).all()
 
 
+@pytest.mark.slow
 def test_lw_byband_sums_to_broadband():
     kd, clut, _ = _luts(True)
     atm = _atm()
@@ -69,6 +71,7 @@ def test_lw_byband_sums_to_broadband():
         rtol=1e-11)
 
 
+@pytest.mark.slow
 def test_lw_orientation_invariance():
     """Flipping the vertical axis of all inputs must flip the outputs."""
     kd, clut, _ = _luts(True)
@@ -97,6 +100,7 @@ def test_lw_orientation_invariance():
                                flip(np.asarray(out1["lw_flux_dn"])), rtol=1e-11)
 
 
+@pytest.mark.slow
 def test_sw_chunked_clouds_aerosols():
     kd, clut, alut = _luts(False)
     atm = _atm()
@@ -124,6 +128,7 @@ def test_sw_chunked_clouds_aerosols():
     assert dn.min() >= 0 and up.min() >= 0
 
 
+@pytest.mark.slow
 def test_sw_clouds_reduce_surface_flux():
     kd, clut, _ = _luts(False)
     atm = _atm()

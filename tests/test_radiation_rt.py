@@ -11,6 +11,8 @@ from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
 
 from helpers import GASES
 
+pytestmark = pytest.mark.slow
+
 NY, NX, NZ, NLAY = 4, 4, 12, 24
 DZ = 500.0
 
@@ -121,6 +123,65 @@ def test_cloud_mie_sampling(setup):
     budget = tod_up + sfc - sfc_up + absorbed
     assert np.isfinite(budget)
     assert abs(budget - tod_dn) / tod_dn < 0.08, (budget, tod_dn)
+
+
+def test_tod_extra_layer(setup):
+    """Reference-exact TOD bundling (Raytracer.cu:111-166 +
+    test_rte_rrtmgp_rt.cu:334): when nlay > nz the ray-traced grid gets ONE
+    extra top cell integrating the above-domain atmosphere.  Ground truth:
+    a run whose domain spans the FULL atmosphere (no extra cell).  The
+    short-domain run must reproduce the full run's per-layer absorption in
+    every in-domain cell, and its extra cell must carry the integral of
+    the full run's above-domain layers — folding the above-domain into the
+    top in-domain cell (the round-1 behavior) breaks both."""
+    kd, clut, atm = setup
+    short = _solve(kd, clut, atm, photons_per_pixel=512,
+                   independent_column=True)
+    abs_s = (np.asarray(short.rt_flux_abs_dir)
+             + np.asarray(short.rt_flux_abs_dif)).mean(axis=(1, 2))
+    assert abs_s.shape == (NZ + 1,), "extra TOD layer missing"
+
+    full = _solve(kd, clut, atm, photons_per_pixel=512,
+                  independent_column=True, grid_cells=(NLAY, NY, NX))
+    abs_f = (np.asarray(full.rt_flux_abs_dir)
+             + np.asarray(full.rt_flux_abs_dif)).mean(axis=(1, 2))
+    assert abs_f.shape == (NLAY,), "full-domain run must have no extra cell"
+
+    # In-domain cells: per-layer absorption matches the ground truth within
+    # MC noise (~5% per cell at 512 ppp; the buggy fold inflates cell NZ-1
+    # by the entire above-domain absorption, a ~3x error here).
+    np.testing.assert_allclose(abs_s[:NZ], abs_f[:NZ], rtol=0.15)
+    # The extra cell integrates exactly the above-domain layers (same dz,
+    # so volumetric rates add directly).
+    above = abs_f[NZ:].sum()
+    assert abs(abs_s[NZ] - above) / above < 0.15, (abs_s[NZ], above)
+
+
+def test_bnd_fluxes_sum_to_broadband(setup):
+    """By-band rt + two-stream fluxes (Fluxes_byband_rt analog): band sums
+    must equal the broadband accumulators exactly (same additions)."""
+    kd, clut, atm = setup
+    out = _solve(kd, clut, atm, twostream=True, output_bnd_fluxes=True,
+                 photons_per_pixel=32)
+    for bnd_name, bb_name in [
+            ("rt_bnd_flux_tod_dn", "rt_flux_tod_dn"),
+            ("rt_bnd_flux_tod_up", "rt_flux_tod_up"),
+            ("rt_bnd_flux_sfc_dir", "rt_flux_sfc_dir"),
+            ("rt_bnd_flux_sfc_dif", "rt_flux_sfc_dif"),
+            ("rt_bnd_flux_sfc_up", "rt_flux_sfc_up")]:
+        bnd = np.asarray(getattr(out, bnd_name))
+        assert bnd.shape == (kd.nbnd, NY, NX), bnd_name
+        np.testing.assert_allclose(bnd.sum(0), np.asarray(getattr(out, bb_name)),
+                                   rtol=2e-5, atol=1e-4, err_msg=bnd_name)
+    for bnd_name, bb_name in [("sw_bnd_flux_up", "sw_flux_up"),
+                              ("sw_bnd_flux_dn", "sw_flux_dn"),
+                              ("sw_bnd_flux_dn_dir", "sw_flux_dn_dir")]:
+        bnd = np.asarray(getattr(out, bnd_name))
+        assert bnd.shape == (NY * NX, NLAY + 1, kd.nbnd), bnd_name
+        np.testing.assert_allclose(bnd.sum(-1), np.asarray(getattr(out, bb_name)),
+                                   rtol=2e-5, atol=1e-4, err_msg=bnd_name)
+    # Every nonzero band contributes (no all-zero bands in daylight SW).
+    assert (np.asarray(out.rt_bnd_flux_tod_dn).sum((1, 2)) > 0).all()
 
 
 def test_single_gpt(setup):

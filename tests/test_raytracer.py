@@ -112,6 +112,7 @@ def test_energy_conservation_scattering():
     assert abs(total - toa_dn) / toa_dn < 0.03, (total, toa_dn)
 
 
+@pytest.mark.slow
 def test_independent_column_matches_3d_for_homogeneous():
     """For a horizontally homogeneous medium the independent-column and 3D
     modes must agree statistically."""

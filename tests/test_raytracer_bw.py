@@ -7,6 +7,8 @@ import pytest
 
 from rte_rrtmgp_tpu.models import raytracer_bw as rbw
 
+pytestmark = pytest.mark.slow
+
 NZ, NY, NX = 4, 8, 8
 DZ = DY = DX = 500.0
 MU0 = 0.8

@@ -140,6 +140,7 @@ def test_sw_fluxes_nonnegative_and_bounded():
     assert np.all(np.asarray(dn) <= toa_in[:, None, :] * (1 + 1e-12))
 
 
+@pytest.mark.slow
 def test_solvers_jit_and_grad():
     """The solvers are jittable and differentiable (the reference has no
     adjoint at all — AD through the scan is a new capability)."""
