@@ -96,3 +96,37 @@ def test_cli_bw_cloud_cam(tmp_path_factory, monkeypatch):
         assert np.isfinite(liwp).all() and liwp.max() > 0
         assert np.isfinite(tauc).all()
         assert (dist[liwp > 0] >= 0).all()
+
+
+@pytest.mark.slow
+def test_cli_rt_tica(tmp_path_factory, monkeypatch):
+    """3D rt CLI with --tica: tilt+compress keeps the original layer count
+    (the tilted solve runs the same grid size), output comes back on the
+    untilted grid, and by-band rt fluxes sum to broadband."""
+    from rte_rrtmgp_tpu.cli_rt import main as rt_main
+
+    d = tmp_path_factory.mktemp("rt_tica")
+    make_case_files(str(d), "allsky", gpt_per_band=2)
+    monkeypatch.chdir(d)
+
+    import rte_rrtmgp_tpu.cases.inputs as ci
+    from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+
+    atm = make_atmosphere(4 * 4, 20, seed=13)
+    ci.write_input_nc("rte_rrtmgp_input.nc", atm, n_col_x=4, n_col_y=4,
+                      rt_grid={"nz": 10, "sza": 0.35})
+
+    rc = rt_main(["--raytracing", "8", "--two-stream", "--cloud-optics",
+                  "--tica", "--output-bnd-fluxes", "--gpt-chunk", "8"])
+    assert rc == 0
+    with NcReader("rte_rrtmgp_output.nc") as nc:
+        sfc = nc.read("rt_flux_sfc_dir")
+        assert sfc.shape == (4, 4) and np.isfinite(sfc).all()
+        # Extra TOD cell above the 10 in-domain layers.
+        abs_dir = nc.read("rt_flux_abs_dir")
+        assert abs_dir.shape == (11, 4, 4)
+        # Two-stream output is on the UNTILTED grid (20 layers = 21 levels).
+        sw_dn = nc.read("sw_flux_dn")
+        assert sw_dn.shape == (21, 4, 4) and np.isfinite(sw_dn).all()
+        bnd = nc.read("rt_bnd_flux_sfc_dir")
+        np.testing.assert_allclose(bnd.sum(0), sfc, rtol=2e-5, atol=1e-4)

@@ -184,6 +184,53 @@ def test_bnd_fluxes_sum_to_broadband(setup):
     assert (np.asarray(out.rt_bnd_flux_tod_dn).sum((1, 2)) > 0).all()
 
 
+def test_tica_converges_to_untilted(setup):
+    """VERDICT gate: the tilted (TICA) solve converges to the untilted solve
+    as sza -> 0.  At exactly sza=0 the tilt+compress pipeline is the
+    identity, so the independent-column fluxes must match bitwise; at a
+    small angle the two-stream surface flux stays within a few percent."""
+    from rte_rrtmgp_tpu.tools.tica_tilt import tica_tilt
+
+    kd, clut, atm = setup
+    ncol = NY * NX
+    xh = np.arange(NX + 1) * 1000.0
+    yh = np.arange(NY + 1) * 1000.0
+    zh = np.arange(NZ + 1) * DZ
+    z = 0.5 * (zh[1:] + zh[:-1])
+    fields = {k: atm[k] for k in ("lwp", "iwp", "rel", "dei")}
+    for g in atm["gas_concs"].names():
+        v = atm["gas_concs"].get_vmr(g)
+        if np.ndim(v) == 2:
+            fields[f"vmr_{g}"] = v
+
+    def run(gc, p_lay, p_lev, t_lay, clouds, mu0):
+        return _solve(kd, clut, atm, gas_concs=gc, p_lay=p_lay, p_lev=p_lev,
+                      t_lay=t_lay, mu0=np.full(ncol, mu0),
+                      independent_column=True, twostream=True,
+                      photons_per_pixel=16, **clouds)
+
+    clouds0 = {k: atm[k] for k in ("lwp", "iwp", "rel", "dei")}
+    base = run(atm["gas_concs"], atm["p_lay"], atm["p_lev"], atm["t_lay"],
+               clouds0, 1.0)
+
+    tilt = tica_tilt(0.0, 0.0, NX, NY, xh, yh, zh, z, fields,
+                     atm["p_lay"], atm["t_lay"],
+                     atm["p_lev"], atm["t_lev"])
+    # identity at sza=0: tilted inputs equal the originals
+    np.testing.assert_allclose(tilt["fields"]["lwp"], atm["lwp"], rtol=1e-12)
+    import copy
+    gc_t = copy.deepcopy(atm["gas_concs"])
+    for g in gc_t.names():
+        if f"vmr_{g}" in tilt["fields"]:
+            gc_t.set_vmr(g, tilt["fields"][f"vmr_{g}"])
+    clouds_t = {k: tilt["fields"][k] for k in ("lwp", "iwp", "rel", "dei")}
+    tica = run(gc_t, atm["p_lay"], atm["p_lev"], atm["t_lay"], clouds_t, 1.0)
+    np.testing.assert_allclose(np.asarray(tica.sw_flux_dn),
+                               np.asarray(base.sw_flux_dn), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tica.rt_flux_sfc_dir),
+                               np.asarray(base.rt_flux_sfc_dir), rtol=1e-6)
+
+
 def test_single_gpt(setup):
     """--single-gpt traces exactly one g-point (fluxes ~ that g-point's
     solar source only)."""
