@@ -98,6 +98,15 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
 
         emis_gpt = flux_ops.expand_bands_to_gpt(emis_sfc, kdc.gpt2band)
         inc = jnp.zeros((ncol, g1 - g0), dtype)
+        if not output_bnd_fluxes:
+            # Broadband-only: the fused Pallas sweep (TPU) reduces over
+            # g-points in-kernel, never materializing (ncol, nlev, ngpt).
+            up_bb, dn_bb, _ = rte_lw.lw_solver_noscat_broadband(
+                tau, src.lay_src, src.lev_src, emis_gpt, src.sfc_src,
+                src.sfc_src_jac, inc, n_gauss_angles=n_gauss_angles)
+            flux_up = flux_up + up_bb
+            flux_dn = flux_dn + dn_bb
+            continue
         up, dn, _ = rte_lw.lw_solver_noscat(
             tau, src.lay_src, src.lev_src, emis_gpt, src.sfc_src,
             src.sfc_src_jac, inc, n_gauss_angles=n_gauss_angles)
@@ -199,6 +208,13 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
         alb_dir = flux_ops.expand_bands_to_gpt(sfc_alb_dir, kdc.gpt2band)
         alb_dif = flux_ops.expand_bands_to_gpt(sfc_alb_dif, kdc.gpt2band)
 
+        if not output_bnd_fluxes:
+            up_bb, dn_bb, dir_bb = rte_sw.sw_solver_2stream_broadband(
+                op.tau, op.ssa, op.g, mu0_safe, alb_dir, alb_dif, toa)
+            flux_up = flux_up + up_bb
+            flux_dn = flux_dn + dn_bb
+            flux_dir = flux_dir + dir_bb
+            continue
         up, dn, fdir = rte_sw.sw_solver_2stream(
             op.tau, op.ssa, op.g, mu0_safe, alb_dir, alb_dif, toa)
 

@@ -113,3 +113,38 @@ def lw_solver_noscat(tau, lay_src, lev_src, sfc_emis, sfc_src, sfc_src_jac,
                                    sfc_src_jac, inc_flux, D, w)
         fu, fd, fj = fu + u, fd + d, fj + j
     return fu, fd, fj
+
+
+def lw_solver_noscat_broadband(tau, lay_src, lev_src, sfc_emis, sfc_src,
+                               sfc_src_jac, inc_flux,
+                               n_gauss_angles: int = 1):
+    """As :func:`lw_solver_noscat` but returning g-point-summed broadband
+    fluxes (ncol, nlay+1).  On TPU/f32 this dispatches to the fused Pallas
+    sweep kernel (ops/pallas/solver_kernels.py), which never materializes
+    the (ncol, nlev, ngpt) flux planes; otherwise it reduces the XLA
+    solver's output."""
+    from .pallas import solver_kernels as sk
+
+    nlev = tau.shape[1] + 1
+    if sk.solvers_available(tau.dtype, nlev):
+        G = tau.shape[2]
+        gpad = (-G) % 128
+        if gpad:
+            z3 = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, gpad)))
+            z2 = lambda a: jnp.pad(a, ((0, 0), (0, gpad)))
+            # Zero-tau / zero-source padding contributes exactly zero to
+            # the broadband sums.
+            tau, lay_src, lev_src = z3(tau), z3(lay_src), z3(lev_src)
+            sfc_emis, sfc_src = z2(sfc_emis), z2(sfc_src)
+            sfc_src_jac, inc_flux = z2(sfc_src_jac), z2(inc_flux)
+        fu = fd = fj = 0.0
+        for imu in range(n_gauss_angles):
+            u, d, j = sk.lw_sweep_broadband(
+                tau, lay_src, lev_src, sfc_emis, sfc_src, sfc_src_jac,
+                inc_flux, D=float(GAUSS_DS[n_gauss_angles - 1, imu]),
+                w=float(GAUSS_WTS[n_gauss_angles - 1, imu]))
+            fu, fd, fj = fu + u, fd + d, fj + j
+        return fu, fd, fj
+    up, dn, jac = lw_solver_noscat(tau, lay_src, lev_src, sfc_emis, sfc_src,
+                                   sfc_src_jac, inc_flux, n_gauss_angles)
+    return up.sum(-1), dn.sum(-1), jac.sum(-1)

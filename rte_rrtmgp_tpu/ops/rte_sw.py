@@ -124,3 +124,32 @@ def sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
     flux_up = flux_dn * albedo + src
     flux_dn = flux_dn + flux_dir
     return flux_up, flux_dn, flux_dir
+
+
+def sw_solver_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
+                                inc_flux_dir, inc_flux_dif=None):
+    """As :func:`sw_solver_2stream` but returning g-point-summed broadband
+    fluxes (ncol, nlay+1).  On TPU/f32 this dispatches to the fused Pallas
+    two-stream+adding kernel (coefficients, sweeps and the spectral
+    reduction in one pass, no (ncol, nlev, ngpt) planes); otherwise it
+    reduces the XLA solver's output."""
+    from .pallas import solver_kernels as sk
+
+    nlev = tau.shape[1] + 1
+    if sk.solvers_available(tau.dtype, nlev):
+        G = tau.shape[2]
+        gpad = (-G) % 128
+        if gpad:
+            z3 = lambda a: jnp.pad(a, ((0, 0), (0, 0), (0, gpad)))
+            z2 = lambda a: jnp.pad(a, ((0, 0), (0, gpad)))
+            tau, ssa, g = z3(tau), z3(ssa), z3(g)
+            sfc_alb_dir, sfc_alb_dif = z2(sfc_alb_dir), z2(sfc_alb_dif)
+            inc_flux_dir = z2(inc_flux_dir)
+            if inc_flux_dif is not None:
+                inc_flux_dif = z2(inc_flux_dif)
+        return sk.sw_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir,
+                                       sfc_alb_dif, inc_flux_dir,
+                                       inc_flux_dif)
+    up, dn, fdir = sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir,
+                                     sfc_alb_dif, inc_flux_dir, inc_flux_dif)
+    return up.sum(-1), dn.sum(-1), fdir.sum(-1)

@@ -4,6 +4,12 @@ Times each pipeline stage (interpolation, tau_major, tau_minor, rayleigh,
 planck, LW sweep, SW 2-stream, cloud optics) in isolation on the current
 default device to locate the hot spots before kernel work.
 
+Timing methodology (required on the tunneled axon TPU, where
+``block_until_ready`` resolves without a device sync and identical
+dispatches get deduplicated): each iteration perturbs the first float
+argument by a value that data-depends on the previous output, and the
+clock stops only after fetching a scalar to the host.
+
 Usage: python tools/profile_stages.py [ncol] [nlay]
 """
 
@@ -22,19 +28,48 @@ from rte_rrtmgp_tpu.ops import rte_lw, rte_sw
 
 NCOL = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 NLAY = int(sys.argv[2]) if len(sys.argv) > 2 else 72
-ITERS = 20
+ITERS = 10
+REPS = 3
 
 
-def timeit(name, fn, *args):
+def _first_leaf(tree):
+    return next(l for l in jax.tree_util.tree_leaves(tree)
+                if hasattr(l, "ravel"))
+
+
+def _fetch(tree):
+    return float(jnp.asarray(_first_leaf(tree)).ravel()[0])
+
+
+def _perturb(tree, delta, link):
+    """Perturb the first floating leaf of ``tree`` by delta + 0*link (the
+    link forces a data dependence on the previous output)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for i, l in enumerate(leaves):
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating):
+            leaves[i] = l + l.dtype.type(delta) + link.astype(l.dtype)
+            break
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def timeit(name, fn, *args, vary: int = 0):
+    """Fetch-synchronized best-of-REPS timing with value-varying chained
+    inputs (see module docstring)."""
+    args = list(args)
+    base = args[vary]
     out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{name:36s} {dt:8.2f} ms")
-    return out
+    assert np.isfinite(_fetch(out))
+    best = float("inf")
+    for rep in range(REPS):
+        t0 = time.perf_counter()
+        for it in range(ITERS):
+            out = fn(*args)
+            link = _first_leaf(out).ravel()[0] * 0.0
+            args[vary] = _perturb(base, (rep * ITERS + it + 1) * 1e-7, link)
+        _fetch(out)
+        best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
+    print(f"{name:36s} {best:8.2f} ms", flush=True)
+    return fn(*args)
 
 
 def main():
