@@ -82,10 +82,10 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
-        tau = gas_ops.tau_major(kdc, interp)
+        tau, pfrac = gas_ops.tau_major_and_pfrac(kdc, interp)
         tau = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau)
         src = gas_ops.planck_source(kdc, interp, t_lay, t_lev, t_sfc,
-                                    sfc_lay=nlay - 1)
+                                    sfc_lay=nlay - 1, pfrac=pfrac)
         if with_clouds:
             tau = tau + flux_ops.expand_bands_to_gpt(cld.tau, kdc.gpt2band)
         if output_optical:
@@ -186,9 +186,9 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
-        tau_abs = gas_ops.tau_major(kdc, interp)
+        tau_abs, tau_ray = gas_ops.tau_major_and_rayleigh(kdc, interp,
+                                                          col_gas, col_dry)
         tau_abs = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau_abs)
-        tau_ray = gas_ops.tau_rayleigh(kdc, interp, col_gas, col_dry)
         tau, ssa, g = gas_ops.combine_abs_and_rayleigh(tau_abs, tau_ray)
         op = optics_ops.OpticalProps2str(tau=tau, ssa=ssa, g=g)
 

@@ -318,6 +318,80 @@ def tau_major(kd: KDist, interp: Interp):
     return _interp3d_rows(kd, kd.kmajor_rows, interp, scale_by_colmix=True)
 
 
+def _fused_inputs(kd: KDist, interp: Interp, masks, with_colmix: bool):
+    C, L = interp.tropo.shape
+    N = C * L
+    F = kd.nflav
+    rows = _slab_rows(kd, interp).reshape(N, 4).astype(jnp.int32)
+    jes, fms = _kernel_resolves(kd, interp, masks)
+    fp = interp.fpress.reshape(N)
+    cms = None
+    if with_colmix:
+        cms = tuple(
+            _resolve_flav(interp.col_mix[:, :, i * F:(i + 1) * F], masks,
+                          interp.tropo).reshape(N, fms[0].shape[1])
+            for i in range(2))
+    return rows, jes, fms, fp, cms
+
+
+def tau_major_and_pfrac(kd: KDist, interp: Interp):
+    """Fused kmajor + planck-fraction interpolation.
+
+    Both tables share the same 4-corner slab addressing and eta weights;
+    on TPU this is ONE multi-table Pallas pass (half the per-cell loop
+    and weight-building cost of two calls).  Returns (tau_major, pfrac),
+    each (ncol, nlay, ngpt).  Feed ``pfrac`` to :func:`planck_source`.
+    """
+    dtype = kd.kmajor_rows.dtype
+    if config.use_pallas() and dtype == jnp.float32:
+        import os
+
+        from .pallas import interp_rows_multi
+
+        C, L = interp.tropo.shape
+        G = kd.kmajor_rows.shape[2]
+        masks = _flavor_masks(kd, dtype)
+        rows, jes, fms, fp, cms = _fused_inputs(kd, interp, masks, True)
+        block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
+        tau, pfrac = interp_rows_multi(
+            [kd.kmajor_rows, kd.planck_rows], [rows, rows], jes, fms,
+            [fp, fp], [cms, None],
+            metas=(((0, 0, 1, 1), True, True), ((0, 0, 1, 1), True, False)),
+            neta=kd.neta, block=block)
+        return tau.reshape(C, L, G), pfrac.reshape(C, L, G)
+    return (_interp3d_rows(kd, kd.kmajor_rows, interp, scale_by_colmix=True),
+            _interp3d_rows(kd, kd.planck_rows, interp, scale_by_colmix=False))
+
+
+def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
+    """Fused kmajor + krayl interpolation (shared weights, one Pallas
+    pass).  Returns (tau_major, tau_rayleigh)."""
+    dtype = kd.kmajor_rows.dtype
+    if config.use_pallas() and dtype == jnp.float32:
+        import os
+
+        from .pallas import interp_rows_multi
+
+        C, L = interp.tropo.shape
+        G = kd.kmajor_rows.shape[2]
+        ntemp = kd.ntemp
+        masks = _flavor_masks(kd, dtype)
+        rows, jes, fms, fp, cms = _fused_inputs(kd, interp, masks, True)
+        it = np.arange(2, dtype=np.int32)[None, None, :]
+        rows_ray = ((interp.itropo01 * ntemp + interp.jtemp0)[:, :, None]
+                    + it).reshape(C * L, 2).astype(jnp.int32)
+        block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
+        tau, kloc = interp_rows_multi(
+            [kd.kmajor_rows, kd.krayl_rows], [rows, rows_ray], jes, fms,
+            [fp, None], [cms, None],
+            metas=(((0, 0, 1, 1), True, True), ((0, 1), False, False)),
+            neta=kd.neta, block=block)
+        fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
+        return tau.reshape(C, L, G), kloc.reshape(C, L, G) * fac
+    return (tau_major(kd, interp),
+            tau_rayleigh(kd, interp, col_gas, col_dry))
+
+
 def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
     """Minor-gas optical depth, both atmospheres; adds into ``tau``.
 
@@ -550,10 +624,13 @@ def _interp1d_planck(temp, kd: KDist):
 
 
 def planck_source(kd: KDist, interp: Interp, tlay, tlev, tsfc,
-                  sfc_lay: int) -> SourceFuncLW:
+                  sfc_lay: int, pfrac=None) -> SourceFuncLW:
     """Planck_source_kernel (:196-314).  ``sfc_lay`` is the 0-based layer
-    adjacent to the surface (static)."""
-    pfrac = _interp3d_rows(kd, kd.planck_rows, interp, scale_by_colmix=False)
+    adjacent to the surface (static).  ``pfrac`` may be precomputed by the
+    fused :func:`tau_major_and_pfrac` pass."""
+    if pfrac is None:
+        pfrac = _interp3d_rows(kd, kd.planck_rows, interp,
+                               scale_by_colmix=False)
 
     lay_src = pfrac * _interp1d_planck(tlay, kd)
 

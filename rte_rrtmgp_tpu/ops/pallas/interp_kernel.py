@@ -89,6 +89,148 @@ def _kernel(corner_itemp, has_fp, has_cm, rows_ref, *refs):
     jax.lax.fori_loop(0, B, body, 0)
 
 
+def _kernel_multi(metas, rows_ref, *refs):
+    """Multi-op variant: several tables interpolated per cell in ONE pass,
+    sharing the per-cell eta weight matrices, the pressure fraction and the
+    loop overhead.  ``metas`` is a static tuple of
+    (corner_itemp, has_fp, has_cm) per op; refs order is
+    [fp?] jes(2) fms(4) [cms pairs...] [tables...] [outs...].
+
+    4-corner ops (corner layout i0p0, i0p1, i1p0, i1p1) merge the two
+    pressure slabs BEFORE the eta contraction — one weighted sum per
+    temperature pair instead of two."""
+    any_fp = any(m[1] for m in metas)
+    k = 0
+    fp_ref = None
+    if any_fp:
+        fp_ref = refs[0]
+        k = 1
+    je_refs = refs[k:k + 2]
+    fm_refs = refs[k + 2:k + 6]
+    k += 6
+    cm_refs = []
+    for m in metas:
+        if m[2]:
+            cm_refs.append(refs[k:k + 2])
+            k += 2
+        else:
+            cm_refs.append(None)
+    tables = refs[k:k + len(metas)]
+    outs = refs[k + len(metas):]
+    B = outs[0].shape[0]
+    G = outs[0].shape[1]
+    e_iota = jax.lax.broadcasted_iota(jnp.int32, (ETA_STRIDE, G), 0)
+
+    def body(b, _):
+        fp = fp_ref[b, 0] if any_fp else None
+        w_i = [None, None]
+
+        def weights(i):
+            if w_i[i] is None:
+                je = je_refs[i][b, :][None, :]
+                sel0 = (e_iota == je).astype(outs[0].dtype)
+                sel1 = (e_iota == je + 1).astype(outs[0].dtype)
+                w_i[i] = (fm_refs[2 * i][b, :][None, :] * sel0
+                          + fm_refs[2 * i + 1][b, :][None, :] * sel1)
+            return w_i[i]
+
+        col = 0
+        for iop, (corner_itemp, has_fp, has_cm) in enumerate(metas):
+            nc = len(corner_itemp)
+            acc = jnp.zeros((1, G), outs[0].dtype)
+            if has_fp:
+                # (i0p0, i0p1, i1p0, i1p1): merge the pressure pair first.
+                for i in (0, 1):
+                    r0 = rows_ref[b, col + 2 * i] * ETA_STRIDE
+                    r1 = rows_ref[b, col + 2 * i + 1] * ETA_STRIDE
+                    slab = ((1.0 - fp) * tables[iop][pl.ds(r0, ETA_STRIDE), :]
+                            + fp * tables[iop][pl.ds(r1, ETA_STRIDE), :])
+                    pair = jnp.sum(weights(i) * slab, axis=0, keepdims=True)
+                    if has_cm:
+                        pair = pair * cm_refs[iop][i][b, :][None, :]
+                    acc = acc + pair
+            else:
+                for c, i in enumerate(corner_itemp):
+                    r = rows_ref[b, col + c] * ETA_STRIDE
+                    slab = tables[iop][pl.ds(r, ETA_STRIDE), :]
+                    pair = jnp.sum(weights(i) * slab, axis=0, keepdims=True)
+                    if has_cm:
+                        pair = pair * cm_refs[iop][i][b, :][None, :]
+                    acc = acc + pair
+            outs[iop][b, :] = acc[0]
+            col += nc
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("metas", "neta", "block"))
+def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
+                      metas: tuple, neta: int, block: int = 256):
+    """Fused multi-table interpolation: one kernel pass over the cells
+    serving several (table, corners) ops that share the flavor-resolved
+    eta weights — e.g. LW kmajor + planck_frac, SW kmajor + krayl.
+
+    tables: list of (R, neta, G) row tables (same G); rows_list: per-op
+    (N, nc) unscaled row indices; jes/fms: shared weight planes (N, G);
+    fps: per-op fpress (N,) or None; cms_list: per-op (cm0, cm1) planes or
+    None; metas: static per-op (corner_itemp, has_fp, has_cm).
+    Returns a list of (N, G) outputs."""
+    N, G = fms[0].shape
+    dtype = tables[0].dtype
+    any_fp = any(m[1] for m in metas)
+    fp = next((f for f in fps if f is not None), None)
+
+    tbls = []
+    for t in tables:
+        assert t.shape[1] == neta and t.shape[2] == G, (t.shape, neta, G)
+        tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
+        tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, G))
+
+    rows = jnp.concatenate(rows_list, axis=1)
+    pad = (-N) % block
+    if pad:
+        p2 = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
+        rows = p2(rows)
+        jes = tuple(p2(a) for a in jes)
+        fms = tuple(p2(a) for a in fms)
+        if fp is not None:
+            fp = jnp.pad(fp, ((0, pad),))
+        cms_list = [tuple(p2(a) for a in cms) if cms is not None else None
+                    for cms in cms_list]
+    n_pad = N + pad
+
+    plane = pl.BlockSpec((block, G), lambda ib: (ib, 0),
+                         memory_space=pltpu.VMEM)
+    operands = [rows]
+    specs = [pl.BlockSpec((block, rows.shape[1]), lambda ib: (ib, 0),
+                          memory_space=pltpu.SMEM)]
+    if any_fp:
+        operands.append(fp.reshape(-1, 1))
+        specs.append(pl.BlockSpec((block, 1), lambda ib: (ib, 0),
+                                  memory_space=pltpu.SMEM))
+    operands.extend(jes)
+    operands.extend(fms)
+    specs.extend([plane] * 6)
+    for cms in cms_list:
+        if cms is not None:
+            operands.extend(cms)
+            specs.extend([plane] * 2)
+    for t in tbls:
+        operands.append(t)
+        specs.append(pl.BlockSpec((t.shape[0], G), lambda ib: (0, 0),
+                                  memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel_multi, metas),
+        grid=(n_pad // block,),
+        in_specs=specs,
+        out_specs=[plane] * len(metas),
+        out_shape=[jax.ShapeDtypeStruct((n_pad, G), dtype)] * len(metas),
+    )(*operands)
+    return [o[:N] if pad else o for o in outs]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("neta", "block", "corner_itemp"))
 def interp_rows_pallas(table, rows, jes, fms, *, fp=None, cms=None,

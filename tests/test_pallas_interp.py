@@ -9,6 +9,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from jax.experimental.pallas import tpu as pltpu
+
 from rte_rrtmgp_tpu.ops.pallas import interp_rows_pallas
 
 
@@ -159,3 +161,81 @@ def test_minor_pallas_path_matches_xla(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(tau_pl), np.asarray(tau_xla),
                                rtol=3e-6, atol=1e-30)
+
+
+def test_multi_op_pass_matches_singles():
+    """Fused multi-table pass (kmajor+planck / kmajor+krayl shapes) returns
+    exactly what the per-table kernel returns."""
+    from rte_rrtmgp_tpu.ops.pallas import interp_rows_multi, interp_rows_pallas
+
+    rng = np.random.default_rng(4)
+    N, G, R, E, T = 70, 128, 36, 9, 4
+    f32 = lambda *s: rng.random(s, dtype=np.float32)
+    tbl1 = jnp.asarray(f32(R, E, G))
+    tbl2 = jnp.asarray(f32(R, E, G))
+    tbl3 = jnp.asarray(f32(2 * T, E, G))
+    rows4 = jnp.asarray(rng.integers(0, R - T - 2, (N, 1)).repeat(4, 1)
+                        + np.array([0, T, 1, T + 1]), dtype=jnp.int32)
+    rows2 = jnp.asarray(rng.integers(0, T, (N, 2)), dtype=jnp.int32)
+    jes = tuple(jnp.asarray(rng.integers(0, E - 1, (N, G)), jnp.int32)
+                for _ in range(2))
+    fms = tuple(jnp.asarray(f32(N, G)) for _ in range(4))
+    fp = jnp.asarray(f32(N))
+    cms = tuple(jnp.asarray(f32(N, G)) for _ in range(2))
+
+    with pltpu.force_tpu_interpret_mode():
+        m1, m2, m3 = interp_rows_multi(
+            [tbl1, tbl2, tbl3], [rows4, rows4, rows2], jes, fms,
+            [fp, fp, None], [cms, None, None],
+            metas=(((0, 0, 1, 1), True, True),
+                   ((0, 0, 1, 1), True, False),
+                   ((0, 1), False, False)),
+            neta=E, block=32)
+        # Note: single-op kernel uses corner order (i0p0, i0p1, i1p0, i1p1)
+        # with odd corners weighted fp — same convention.
+        s1 = interp_rows_pallas(tbl1, rows4, jes, fms, fp=fp, cms=cms,
+                                neta=E, block=32)
+        s2 = interp_rows_pallas(tbl2, rows4, jes, fms, fp=fp, neta=E,
+                                block=32)
+        s3 = interp_rows_pallas(tbl3, rows2, jes, fms, neta=E, block=32,
+                                corner_itemp=(0, 1))
+    np.testing.assert_allclose(m1, s1, rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(m2, s2, rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(m3, s3, rtol=2e-6, atol=1e-6)
+
+
+def test_fused_gas_optics_entries_match_unfused():
+    """tau_major_and_pfrac / tau_major_and_rayleigh == the separate ops
+    (CPU: both sides take the XLA path — checks the plumbing)."""
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from rte_rrtmgp_tpu.ops import gas_optics as gas_ops
+
+    kd = small_kdist(False)
+    atm = small_atmos()
+    vmr, col_dry = atmos_inputs(kd, atm)
+    cg = gas_ops.build_col_gas(jnp.asarray(vmr), jnp.asarray(col_dry))
+    interp = gas_ops.interpolation(kd, jnp.asarray(atm["p_lay"]),
+                                   jnp.asarray(atm["t_lay"]), cg)
+    t1, r1 = gas_ops.tau_major_and_rayleigh(kd, interp, cg,
+                                            jnp.asarray(col_dry))
+    np.testing.assert_allclose(t1, gas_ops.tau_major(kd, interp), rtol=1e-12)
+    np.testing.assert_allclose(
+        r1, gas_ops.tau_rayleigh(kd, interp, cg, jnp.asarray(col_dry)),
+        rtol=1e-12)
+
+    kd_lw = small_kdist(True)
+    interp_lw = gas_ops.interpolation(kd_lw, jnp.asarray(atm["p_lay"]),
+                                      jnp.asarray(atm["t_lay"]), cg)
+    t2, pf = gas_ops.tau_major_and_pfrac(kd_lw, interp_lw)
+    np.testing.assert_allclose(t2, gas_ops.tau_major(kd_lw, interp_lw),
+                               rtol=1e-12)
+    src_a = gas_ops.planck_source(kd_lw, interp_lw,
+                                  jnp.asarray(atm["t_lay"]),
+                                  jnp.asarray(atm["t_lev"]),
+                                  jnp.asarray(atm["t_sfc"]), sfc_lay=0,
+                                  pfrac=pf)
+    src_b = gas_ops.planck_source(kd_lw, interp_lw,
+                                  jnp.asarray(atm["t_lay"]),
+                                  jnp.asarray(atm["t_lev"]),
+                                  jnp.asarray(atm["t_sfc"]), sfc_lay=0)
+    np.testing.assert_allclose(src_a.lay_src, src_b.lay_src, rtol=1e-12)
