@@ -128,7 +128,7 @@ class RadiationSolverBW:
               mode: str = "image", n_sub: int = 3,
               delta_cloud: bool = False, delta_aerosol: bool = False,
               gpt_chunk: Optional[int] = None, key=None,
-              dtype=np.float32) -> dict:
+              bg_column: str = "first", dtype=np.float32) -> dict:
         """Render a camera view.  mode="image" -> XYZ (3, ny, nx);
         mode="broadband" -> radiance (ny, nx).
 
@@ -209,16 +209,18 @@ class RadiationSolverBW:
             jnp.asarray(xyz_arr), jnp.asarray(rayl_arr), jnp.asarray(solar),
             camera=camera, grid_cells=tuple(grid_cells),
             kn_grid=tuple(kn_grid), photons_per_pixel=photons_per_pixel,
-            mode=mode)
+            mode=mode, bg_column=bg_column)
         return out
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "camera", "grid_cells", "kn_grid", "photons_per_pixel", "mode"))
+    "camera", "grid_cells", "kn_grid", "photons_per_pixel", "mode",
+    "bg_column"))
 def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
                  mu0, azi, air_col, z_lev, grid_d,
                  igpt_arr, band_arr, toaf_arr, xyz_arr, rayl_arr, solar,
-                 *, camera, grid_cells, kn_grid, photons_per_pixel, mode):
+                 *, camera, grid_cells, kn_grid, photons_per_pixel, mode,
+                 bg_column: str = "first"):
     dtype = gas_tau.dtype
     nz, ny, nx = grid_cells
     ncol, nlay, ngpt = gas_tau.shape
@@ -273,13 +275,22 @@ def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
         # 3D fields for the dynamic domain
         k3 = tuple(to3d(a[:, :nz]) for a in
                    (k_ext, k_sca_g, k_sca_c, k_sca_a, gc, ga))
-        # 1D background column (column mean of upper layers)
-        kbg_prof = k_ext[:, nz:].mean(axis=0)
-        ksca_bg = (k_sca_g + k_sca_c + k_sca_a)[:, nz:].mean(axis=0)
+        # 1D background column above the dynamic domain.  The reference
+        # takes the TRUE profile of the first column
+        # (background_profile kernel, src_cuda_rt/Raytracer_bw.cu:200-238:
+        # idx = (i+grid_cells.z)*ny*nx, i.e. column 0) — "first" matches
+        # that; "mean" averages all columns (more robust when the upper
+        # atmosphere is horizontally inhomogeneous).
+        if bg_column == "mean":
+            bg = lambda a: a[:, nz:].mean(axis=0)
+        else:
+            bg = lambda a: a[0, nz:]
+        kbg_prof = bg(k_ext)
+        ksca_bg = bg(k_sca_g + k_sca_c + k_sca_a)
         ssa_bg = ksca_bg / jnp.maximum(kbg_prof, 1e-30)
-        f_g = k_sca_g[:, nz:].mean(axis=0) / jnp.maximum(ksca_bg, 1e-30)
-        f_c = k_sca_c[:, nz:].mean(axis=0) / jnp.maximum(ksca_bg, 1e-30)
-        f_a = k_sca_a[:, nz:].mean(axis=0) / jnp.maximum(ksca_bg, 1e-30)
+        f_g = bg(k_sca_g) / jnp.maximum(ksca_bg, 1e-30)
+        f_c = bg(k_sca_c) / jnp.maximum(ksca_bg, 1e-30)
+        f_a = bg(k_sca_a) / jnp.maximum(ksca_bg, 1e-30)
         asy_split_bg = jnp.stack([f_g, f_c, f_a], axis=1)
 
         alb_band = jnp.take_along_axis(

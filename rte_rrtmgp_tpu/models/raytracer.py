@@ -148,6 +148,7 @@ class _PhotonState(NamedTuple):
     d_max: object        # (N,) distance to knull-cell boundary (0 = recompute)
     k_null: object       # (N,)
     transition: object   # (N,) bool
+    count: object        # (N,) photons already launched by this lane
 
 
 def trace_rays(key,
@@ -159,7 +160,8 @@ def trace_rays(key,
                mie_cdf: Optional[object] = None,
                mie_ang: Optional[object] = None,
                max_steps: int = 50_000,
-               k_ext_null_min: float = 1e-3) -> RaytracerOutput:
+               k_ext_null_min: float = 1e-3,
+               photons_per_lane: Optional[int] = None) -> RaytracerOutput:
     """Trace one spectral band/g-point through a 3D domain.
 
     All 3D fields are (nz, ny, nx) with z the vertical (index 0 at the
@@ -168,6 +170,13 @@ def trace_rays(key,
     ``tod_inc_direct/diffuse``: W m-2 entering the domain top (from the
     1D two-stream solve above the domain, Radiation_solver_rt.cu:903-956).
 
+    ``photons_per_lane``: each SIMD lane traces this many photons
+    sequentially, respawning as soon as its current photon dies (the
+    analog of the reference's photons-per-thread loop,
+    Raytracer.cu:344-374).  Idle-lane waste from the long-lived-photon
+    tail is amortized over the lane's whole quota; the default picks
+    min(8, photons_per_pixel).
+
     Returns fluxes in W m-2 (2D) / W m-3 (3D absorption).
     """
     dtype = k_ext.dtype
@@ -175,6 +184,12 @@ def trace_rays(key,
     nz, ny, nx = k_ext.shape
     ncell = ny * nx
     n_photons = ncell * photons_per_pixel
+    if photons_per_lane is None:
+        photons_per_lane = min(8, photons_per_pixel)
+    while n_photons % photons_per_lane:
+        photons_per_lane -= 1
+    ppl = photons_per_lane
+    n_lanes = n_photons // ppl
     grid_d = jnp.asarray(grid_d, dtype)
     dz, dy, dx = grid_d[0], grid_d[1], grid_d[2]
     size_z, size_y, size_x = nz * dz, ny * dy, nx * dx
@@ -189,55 +204,59 @@ def trace_rays(key,
     tod_dif = jnp.asarray(tod_inc_diffuse, dtype)
     diff_frac = tod_dif / jnp.maximum(tod_dir + tod_dif, eps)
 
-    kflat = k_ext.reshape(-1)
-    ksg = k_sca_gas.reshape(-1)
-    ksc = k_sca_cld.reshape(-1)
-    ksa = k_sca_aer.reshape(-1)
-    ac = asy_cld.reshape(-1)
-    aa = asy_aer.reshape(-1)
-    reff = r_eff.reshape(-1) if r_eff is not None else None
+    # One packed row per cell -> a single row gather per step instead of
+    # six element gathers (TPU gathers cost per INDEX, not per byte).
+    reff_col = (r_eff.reshape(-1) if r_eff is not None
+                else jnp.zeros(ncell * nz, dtype))
+    fields = jnp.stack([
+        k_ext.reshape(-1), k_sca_gas.reshape(-1), k_sca_cld.reshape(-1),
+        k_sca_aer.reshape(-1), asy_cld.reshape(-1), asy_aer.reshape(-1),
+        reff_col, jnp.zeros(ncell * nz, dtype)], axis=1)   # (ncell*nz, 8)
     alb = surface_albedo.reshape(-1)
     knull_flat = k_null_grid.reshape(-1)
     use_mie = mie_cdf is not None
 
-    # --- launch: pixel-stratified start positions, one lane per photon ---
-    key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
-    pix = jnp.arange(n_photons, dtype=jnp.int32) % ncell
-    px = (pix % nx).astype(dtype)
-    py = (pix // nx).astype(dtype)
-    ux = jax.random.uniform(k1, (n_photons,), dtype)
-    uy = jax.random.uniform(k2, (n_photons,), dtype)
-    pos = jnp.stack([(px + ux) * dx, (py + uy) * dy,
-                     jnp.full((n_photons,), size_z - s_min, dtype)], axis=1)
-    # pos layout: (x, y, z).
+    def spawn(u5, count):
+        """Stratified launch of each lane's photon number ``count``
+        (global photon id = lane + n_lanes*count, covering every pixel
+        exactly photons_per_pixel times)."""
+        lane = jnp.arange(n_lanes, dtype=jnp.int32)
+        pid = lane + jnp.asarray(n_lanes, jnp.int32) * count
+        pix = pid % ncell
+        px = (pix % nx).astype(dtype)
+        py = (pix // nx).astype(dtype)
+        pos = jnp.stack([(px + u5[0]) * dx, (py + u5[1]) * dy,
+                         jnp.full((n_lanes,), size_z - s_min, dtype)], axis=1)
+        is_direct = u5[2] >= diff_frac
+        mu_s = jnp.sqrt(u5[3])
+        az_s = 2.0 * jnp.pi * u5[4]
+        dif_dir = jnp.stack([mu_s * jnp.sin(az_s), mu_s * jnp.cos(az_s),
+                             -jnp.sqrt(1.0 - mu_s ** 2 + eps)], axis=1)
+        direction = jnp.where(is_direct[:, None], sun_direction[None, :],
+                              dif_dir)
+        return pix, pos, direction, is_direct
 
-    u_kind = jax.random.uniform(k3, (n_photons,), dtype)
-    is_direct = u_kind >= diff_frac
-    mu_s = jnp.sqrt(jax.random.uniform(k4, (n_photons,), dtype))
-    az_s = 2.0 * jnp.pi * jax.random.uniform(k5, (n_photons,), dtype)
-    dif_dir = jnp.stack([mu_s * jnp.sin(az_s), mu_s * jnp.cos(az_s),
-                         -jnp.sqrt(1.0 - mu_s ** 2 + eps)], axis=1)
-    direction = jnp.where(is_direct[:, None], sun_direction[None, :], dif_dir)
-
-    toa_down = jnp.zeros(ncell, dtype).at[pix].add(1.0)
+    key, k0 = jax.random.split(key)
+    u0 = jax.random.uniform(k0, (5, n_lanes), dtype)
+    pix0, pos, direction, is_direct = spawn(u0, jnp.zeros((), jnp.int32))
 
     state = _PhotonState(
         pos=pos, direction=direction,
-        weight=jnp.ones(n_photons, dtype),
+        weight=jnp.ones(n_lanes, dtype),
         is_direct=is_direct,
-        alive=jnp.ones(n_photons, dtype=bool),
-        tau=jnp.zeros(n_photons, dtype),
-        d_max=jnp.zeros(n_photons, dtype),
-        k_null=jnp.ones(n_photons, dtype),
-        transition=jnp.zeros(n_photons, dtype=bool),
+        alive=jnp.ones(n_lanes, dtype=bool),
+        tau=jnp.zeros(n_lanes, dtype),
+        d_max=jnp.zeros(n_lanes, dtype),
+        k_null=jnp.ones(n_lanes, dtype),
+        transition=jnp.zeros(n_lanes, dtype=bool),
+        count=jnp.zeros(n_lanes, jnp.int32),
     )
     counts = dict(
-        tod_up=jnp.zeros(ncell, dtype),
-        sfc_dir=jnp.zeros(ncell, dtype),
-        sfc_dif=jnp.zeros(ncell, dtype),
-        sfc_up=jnp.zeros(ncell, dtype),
-        abs_dir=jnp.zeros(ncell * nz, dtype),
-        abs_dif=jnp.zeros(ncell * nz, dtype),
+        toa_down=jnp.zeros(ncell, dtype).at[pix0].add(1.0),
+        # packed (tod_up, sfc_dir, sfc_dif, sfc_up) per pixel
+        sfc=jnp.zeros((ncell, 4), dtype),
+        # packed (direct, diffuse) absorption per cell
+        absorb=jnp.zeros((ncell * nz, 2), dtype),
     )
 
     def cell_index(p, d, n, nmax):
@@ -247,7 +266,7 @@ def trace_rays(key,
     def body(carry):
         state, counts, key, step = carry
         key, ku = jax.random.split(key)
-        u = jax.random.uniform(ku, (8, n_photons), dtype)
+        u = jax.random.uniform(ku, (13, n_lanes), dtype)
 
         pos, direction = state.pos, state.direction
         alive = state.alive
@@ -304,15 +323,14 @@ def trace_rays(key,
 
         w = state.weight
         counts = dict(counts)
-        counts["sfc_dir"] = counts["sfc_dir"].at[pix_s].add(
-            jnp.where(m_sfc & state.is_direct, w, 0.0))
-        counts["sfc_dif"] = counts["sfc_dif"].at[pix_s].add(
-            jnp.where(m_sfc & ~state.is_direct, w, 0.0))
         w_sfc = w * alb[pix_s]
-        counts["sfc_up"] = counts["sfc_up"].at[pix_s].add(
-            jnp.where(m_sfc, w_sfc, 0.0))
-        counts["tod_up"] = counts["tod_up"].at[pix_s].add(
-            jnp.where(m_tod, w, 0.0))
+        # one packed scatter: (tod_up, sfc_dir, sfc_dif, sfc_up)
+        sfc_vals = jnp.stack([
+            jnp.where(m_tod, w, 0.0),
+            jnp.where(m_sfc & state.is_direct, w, 0.0),
+            jnp.where(m_sfc & ~state.is_direct, w, 0.0),
+            jnp.where(m_sfc, w_sfc, 0.0)], axis=1)
+        counts["sfc"] = counts["sfc"].at[pix_s].add(sfc_vals)
 
         # Russian roulette after surface reflection.
         w_after = jnp.where(m_sfc, w_sfc, w)
@@ -359,16 +377,19 @@ def trace_rays(key,
         ck = cell_index(pos_col[:, 2], dz, nz, nz)
         ijk = (ck * ny + cj) * nx + ci
 
-        k_here = kflat[ijk]
-        k_sca_tot = ksg[ijk] + ksc[ijk] + ksa[ijk]
+        cell = jnp.take(fields, ijk, axis=0)   # (N, 8) one row gather
+        k_here = cell[:, 0]
+        ksca_c = cell[:, 2]
+        ksca_a = cell[:, 3]
+        k_sca_tot = cell[:, 1] + ksca_c + ksca_a
         ssa_tot = k_sca_tot / jnp.maximum(k_here, eps)
         f_no_abs = 1.0 - (1.0 - ssa_tot) * (k_here / k_null)
 
         m_col = alive & ~crossing
-        counts["abs_dir"] = counts["abs_dir"].at[ijk].add(
-            jnp.where(m_col & state.is_direct, w * (1.0 - f_no_abs), 0.0))
-        counts["abs_dif"] = counts["abs_dif"].at[ijk].add(
-            jnp.where(m_col & ~state.is_direct, w * (1.0 - f_no_abs), 0.0))
+        w_abs = w * (1.0 - f_no_abs)
+        counts["absorb"] = counts["absorb"].at[ijk].add(jnp.stack([
+            jnp.where(m_col & state.is_direct, w_abs, 0.0),
+            jnp.where(m_col & ~state.is_direct, w_abs, 0.0)], axis=1))
 
         w_col = w * f_no_abs
         roulette_c = m_col & (w_col < W_THRES)
@@ -382,15 +403,15 @@ def trace_rays(key,
 
         # scatter type: 0 gas (Rayleigh), 1 cloud (Mie/HG), 2 aerosol (HG)
         sr = u[5] * jnp.maximum(k_sca_tot, eps)
-        type_aer = sr < ksa[ijk]
-        type_cld = (~type_aer) & (sr < ksa[ijk] + ksc[ijk])
-        g_cld = jnp.minimum(1.0 - eps, ac[ijk])
-        g_aer = jnp.minimum(1.0 - eps, aa[ijk])
+        type_aer = sr < ksca_a
+        type_cld = (~type_aer) & (sr < ksca_a + ksca_c)
+        g_cld = jnp.minimum(1.0 - eps, cell[:, 4])
+        g_aer = jnp.minimum(1.0 - eps, cell[:, 5])
 
         cos_ray = _rayleigh_sample(u[6])
         cos_aer = _henyey_sample(jnp.where(jnp.abs(g_aer) < 1e-4, 1e-4, g_aer), u[6])
         if use_mie:
-            cos_cld = _mie_sample(mie_cdf, mie_ang, u[6], reff[ijk])
+            cos_cld = _mie_sample(mie_cdf, mie_ang, u[6], cell[:, 6])
         else:
             cos_cld = _henyey_sample(jnp.where(jnp.abs(g_cld) < 1e-4, 1e-4, g_cld), u[6])
         cos_scat = jnp.where(type_aer, cos_aer,
@@ -420,10 +441,26 @@ def trace_rays(key,
         new_trans = m_pass
         new_tau = jnp.where(m_pass, tau_pass, tau)
 
+        # ---- respawn: a lane whose photon died launches its next photon
+        # immediately (reference photons-per-thread loop) ----
+        respawn = alive & ~new_alive & (state.count < ppl - 1)
+        new_count = jnp.where(respawn, state.count + 1, state.count)
+        pix_r, pos_r, dir_r, direct_r = spawn(u[8:13], new_count)
+        counts["toa_down"] = counts["toa_down"].at[pix_r].add(
+            respawn.astype(dtype))
+        new_pos = jnp.where(respawn[:, None], pos_r, new_pos)
+        new_dir = jnp.where(respawn[:, None], dir_r, new_dir)
+        new_weight = jnp.where(respawn, 1.0, new_weight)
+        new_direct = jnp.where(respawn, direct_r, new_direct)
+        new_alive = new_alive | respawn
+        new_dmax = jnp.where(respawn, 0.0, new_dmax)
+        new_trans = new_trans & ~respawn
+
         new_state = _PhotonState(
             pos=new_pos, direction=new_dir, weight=new_weight,
             is_direct=new_direct, alive=new_alive, tau=new_tau,
-            d_max=new_dmax, k_null=k_null, transition=new_trans)
+            d_max=new_dmax, k_null=k_null, transition=new_trans,
+            count=new_count)
         return new_state, counts, key, step + 1
 
     def cond(carry):
@@ -443,13 +480,13 @@ def trace_rays(key,
         return (c * flux_per_ray / dz).reshape(nz, ny, nx)
 
     return RaytracerOutput(
-        flux_toa_down=f2(toa_down),
-        flux_tod_up=f2(counts["tod_up"]),
-        flux_sfc_dir=f2(counts["sfc_dir"]),
-        flux_sfc_dif=f2(counts["sfc_dif"]),
-        flux_sfc_up=f2(counts["sfc_up"]),
-        flux_abs_dir=f3(counts["abs_dir"]),
-        flux_abs_dif=f3(counts["abs_dif"]),
+        flux_toa_down=f2(counts["toa_down"]),
+        flux_tod_up=f2(counts["sfc"][:, 0]),
+        flux_sfc_dir=f2(counts["sfc"][:, 1]),
+        flux_sfc_dif=f2(counts["sfc"][:, 2]),
+        flux_sfc_up=f2(counts["sfc"][:, 3]),
+        flux_abs_dir=f3(counts["absorb"][:, 0]),
+        flux_abs_dif=f3(counts["absorb"][:, 1]),
     )
 
 

@@ -109,3 +109,45 @@ def test_camera_models_produce_rays():
         n = np.asarray(jnp.linalg.norm(direction, axis=1))
         np.testing.assert_allclose(n, 1.0, atol=1e-5)
         assert np.asarray(pix).min() >= 0 and np.asarray(pix).max() < 16
+
+
+def test_bg_column_modes_agree_when_homogeneous():
+    """Reference-exact background ("first" column, Raytracer_bw.cu:200-238)
+    equals the "mean" fallback when the upper atmosphere is horizontally
+    homogeneous — and both render finite radiance."""
+    import jax
+
+    from rte_rrtmgp_tpu.data import synthetic
+    from rte_rrtmgp_tpu.models import KDist
+    from rte_rrtmgp_tpu.models.radiation_bw import RadiationSolverBW
+    from rte_rrtmgp_tpu.models import raytracer_bw as rbw
+    from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+    from helpers import GASES
+
+    kd = KDist.from_raw(synthetic.make_kdist_raw(False, gpt_per_band=1),
+                        GASES, dtype=np.float32)
+    ny = nx = 4
+    nz, nlay = 6, 12
+    atm = make_atmosphere(ny * nx, nlay, seed=9, perturb=False)  # homogeneous
+    cam = rbw.Camera(cam_type=2, ny=ny, nx=nx, fov=80.0,
+                     position=(0.0, 0.0, 0.0))
+    z_lev = np.arange(nlay + 1) * 400.0
+    common = dict(
+        gas_concs=atm["gas_concs"], p_lay=atm["p_lay"], p_lev=atm["p_lev"],
+        t_lay=atm["t_lay"], mu0=np.full(ny * nx, 0.8),
+        azi=np.zeros(ny * nx), sfc_alb=np.full((ny * nx, kd.nbnd), 0.1),
+        land_use_map=np.zeros(ny * nx), camera=cam,
+        grid_cells=(nz, ny, nx), grid_d=(400.0, 500.0, 500.0),
+        kn_grid=(2, 2, 2), z_lev=z_lev, photons_per_pixel=64,
+        mode="broadband", key=jax.random.PRNGKey(3))
+    solver = RadiationSolverBW(kd)
+    out_first = solver.solve(bg_column="first", **common)
+    out_mean = solver.solve(bg_column="mean", **common)
+    a = np.asarray(out_first["radiance"])
+    b = np.asarray(out_mean["radiance"])
+    assert np.isfinite(a).all() and a.max() > 0
+    assert np.isfinite(b).all() and b.max() > 0
+    # The two modes compile to different programs, so MC paths diverge in
+    # the last ulp; with a homogeneous upper atmosphere the PHYSICS is
+    # identical — compare the domain means within MC noise.
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.06)

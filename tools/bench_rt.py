@@ -1,0 +1,104 @@
+"""Forward Monte-Carlo ray-tracer benchmark at the reference's flagship
+RCEMIP-like scale (rcemip/test_rcemip_input.py: 64x64 columns; photon grid
+per src_cuda_rt/Raytracer.cu:344-374).
+
+Workload: 64x64x64 cells, idealized cloud deck + exponential gas
+extinction, 32 photons per pixel, a scan over NGPT g-points (the rt
+driver's spectral streaming).  Reports photons/s and ms per g-point.
+
+Timing: fetch-synchronized, value-varying (tunneled-runtime safe; see
+bench.py docstring).
+
+Usage: python tools/bench_rt.py [nx] [nz] [ppp] [ngpt]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+NX = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+NZ = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+PPP = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+NGPT = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+ITERS = 3
+
+
+def make_fields(nz, ny, nx, seed=0):
+    """Idealized RCEMIP-ish single-g-point optics: exponential gas profile
+    with Rayleigh scattering + a broken cloud deck."""
+    rng = np.random.default_rng(seed)
+    z = (np.arange(nz) + 0.5) / nz
+    k_gas = (0.3e-3 * np.exp(-3.0 * z))[:, None, None] * np.ones((nz, ny, nx))
+    ssa_gas = 0.3
+    cloud = np.zeros((nz, ny, nx), np.float32)
+    deck = (rng.random((ny, nx)) < 0.4)
+    zc0, zc1 = int(0.2 * nz), int(0.3 * nz)
+    cloud[zc0:zc1] = 10e-3 * deck * rng.uniform(0.5, 1.5, (zc1 - zc0, ny, nx))
+    k_ext = (k_gas + cloud).astype(np.float32)
+    k_sca_gas = (k_gas * ssa_gas).astype(np.float32)
+    k_sca_cld = (cloud * 0.9999).astype(np.float32)
+    asy_cld = np.full((nz, ny, nx), 0.86, np.float32)
+    zeros = np.zeros((nz, ny, nx), np.float32)
+    return k_ext, k_sca_gas, k_sca_cld, zeros, asy_cld, zeros
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rte_rrtmgp_tpu.models import raytracer as rt
+
+    ny = nx = NX
+    fields = [jnp.asarray(f) for f in make_fields(NZ, ny, nx)]
+    alb = jnp.full((ny, nx), 0.06, jnp.float32)
+    sun = jnp.asarray(rt.sun_direction_from_angles(0.64, 0.0), jnp.float32)
+    grid_d = (500.0, 100.0, 100.0)
+    kn = (max(2, NZ // 16), max(2, NX // 16), max(2, NX // 16))
+
+    def run(key, kx):
+        def gpt_body(acc, g):
+            out = rt.trace_rays(
+                jax.random.fold_in(key, g), kx, *fields[1:], None, alb,
+                kn, grid_d, jnp.float32(1361.0 * 0.8 / NGPT),
+                jnp.float32(0.0), sun, photons_per_pixel=PPP,
+                independent_column=False)
+            return acc + out.flux_sfc_dir + out.flux_sfc_dif, None
+        acc, _ = jax.lax.scan(gpt_body, jnp.zeros((ny, nx), jnp.float32),
+                              jnp.arange(NGPT))
+        return acc
+
+    fn = jax.jit(run)
+    key = jax.random.PRNGKey(0)
+    out = fn(key, fields[0])
+    warm = float(np.asarray(out).mean())
+    assert np.isfinite(warm) and warm > 0, warm
+
+    best = float("inf")
+    kx0 = fields[0]
+    for rep in range(3):
+        kx = kx0
+        t0 = time.perf_counter()
+        for it in range(ITERS):
+            out = fn(jax.random.fold_in(key, 1000 + rep * ITERS + it), kx)
+            kx = kx0 * (1.0 + 1e-6 * (it + 1)) + 0.0 * out[0, 0]
+        float(out.sum())
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+
+    n_photons = ny * nx * PPP * NGPT
+    print(json.dumps({
+        "metric": f"MC forward tracer photons/s ({NX}x{NX}x{NZ}, "
+                  f"{NGPT} gpt, {PPP} ppp)",
+        "value": round(n_photons / best, 1),
+        "unit": "photons/s",
+        "ms_per_gpt": round(best / NGPT * 1e3, 2),
+        "sfc_mean_wm2": round(warm, 3),
+        "platform": __import__("jax").devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
