@@ -83,6 +83,9 @@ def main():
     colgpt_per_s = NCOL * ngpt_total * ITERS / dt
     ms_per_step = dt / ITERS * 1e3
 
+    rt = _bench_mc_tracer(jax) if os.environ.get("BENCH_RT", "1") != "0" \
+        else {}
+
     baseline = R1_BASELINE_COLGPT_PER_S or colgpt_per_s
     print(json.dumps({
         "metric": "all-sky lw+sw two-stream columns*gpoints/s per chip "
@@ -99,8 +102,66 @@ def main():
                     "(see module docstring)",
         },
         "ms_per_step": round(ms_per_step, 2),
+        **rt,
         "platform": jax.devices()[0].platform,
     }))
+
+
+def _bench_mc_tracer(jax, nx=64, nz=64, ppp=32):
+    """Second headline metric (VERDICT r1 item 2): forward Monte-Carlo
+    tracer photons/s at the reference's RCEMIP-like flagship rt workload
+    (64x64 columns, rcemip/test_rcemip_input.py; photon grid per
+    src_cuda_rt/Raytracer.cu:344-374).  Single g-point trace, timed
+    fetch-synchronized with value-varying extinction."""
+    import jax.numpy as jnp
+
+    from rte_rrtmgp_tpu.models import raytracer as rt
+
+    ny = nx
+    rng = np.random.default_rng(0)
+    z = (np.arange(nz) + 0.5) / nz
+    k_gas = (0.3e-3 * np.exp(-3.0 * z))[:, None, None] * np.ones((nz, ny, nx))
+    cloud = np.zeros((nz, ny, nx), np.float32)
+    deck = rng.random((ny, nx)) < 0.4
+    zc0, zc1 = int(0.2 * nz), int(0.3 * nz)
+    cloud[zc0:zc1] = 10e-3 * deck * rng.uniform(0.5, 1.5, (zc1 - zc0, ny, nx))
+    k_ext = jnp.asarray(k_gas + cloud, jnp.float32)
+    fields = [jnp.asarray(k_gas * 0.3, jnp.float32),
+              jnp.asarray(cloud * 0.9999, jnp.float32),
+              jnp.zeros((nz, ny, nx), jnp.float32),
+              jnp.full((nz, ny, nx), 0.86, jnp.float32),
+              jnp.zeros((nz, ny, nx), jnp.float32)]
+    alb = jnp.full((ny, nx), 0.06, jnp.float32)
+    sun = jnp.asarray(rt.sun_direction_from_angles(0.64, 0.0), jnp.float32)
+
+    def run(key, kx):
+        out = rt.trace_rays(
+            key, kx, *fields, None, alb,
+            (max(2, nz // 16), max(2, nx // 16), max(2, nx // 16)),
+            (500.0, 100.0, 100.0), jnp.float32(1361.0 * 0.4),
+            jnp.float32(0.0), sun, photons_per_pixel=ppp,
+            independent_column=False)
+        return out.flux_sfc_dir + out.flux_sfc_dif
+
+    fn = jax.jit(run)
+    key = jax.random.PRNGKey(0)
+    warm = float(np.asarray(fn(key, k_ext)).mean())
+    assert np.isfinite(warm) and warm > 0, warm
+
+    iters, best = 3, float("inf")
+    for rep in range(2):
+        kx = k_ext
+        t0 = time.perf_counter()
+        for it in range(iters):
+            out = fn(jax.random.fold_in(key, 1 + rep * iters + it), kx)
+            kx = k_ext * (1.0 + 1e-6 * (it + 1)) + 0.0 * out[0, 0]
+        float(out.sum())
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return {
+        "mc_photons_per_s": round(ny * nx * ppp / best, 1),
+        "mc_ms_per_gpt": round(best * 1e3, 2),
+        "mc_workload": f"{nx}x{ny}x{nz}, {ppp} ppp, 1 gpt",
+    }
 
 
 if __name__ == "__main__":

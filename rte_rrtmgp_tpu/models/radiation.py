@@ -80,6 +80,11 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
     optical = {k: [] for k in ("lw_tau", "lay_source", "lev_source",
                                "sfc_source")} if output_optical else None
 
+    # Expand (ncol, nbnd) surface emissivity to the FULL spectrum once and
+    # slice per chunk: one one-hot matmul (and one operand layout copy)
+    # instead of one per chunk.
+    emis_gpt_full = flux_ops.expand_bands_to_gpt(emis_sfc, kd.gpt2band)
+
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
         tau, pfrac = gas_ops.tau_major_and_pfrac(kdc, interp)
@@ -96,7 +101,7 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
         if not with_fluxes:
             continue
 
-        emis_gpt = flux_ops.expand_bands_to_gpt(emis_sfc, kdc.gpt2band)
+        emis_gpt = jax.lax.slice_in_dim(emis_gpt_full, g0, g1, axis=1)
         inc = jnp.zeros((ncol, g1 - g0), dtype)
         if not output_bnd_fluxes:
             # Broadband-only: the fused Pallas sweep (TPU) reduces over
@@ -184,6 +189,10 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
     optical = {k: [] for k in ("sw_tau", "ssa", "g", "toa_source")} \
         if output_optical else None
 
+    # Full-spectrum surface albedo expansions, sliced per chunk (see LW).
+    alb_dir_full = flux_ops.expand_bands_to_gpt(sfc_alb_dir, kd.gpt2band)
+    alb_dif_full = flux_ops.expand_bands_to_gpt(sfc_alb_dif, kd.gpt2band)
+
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
         tau_abs, tau_ray = gas_ops.tau_major_and_rayleigh(kdc, interp,
@@ -205,8 +214,8 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
             optical["toa_source"].append(toa)
         if not with_fluxes:
             continue
-        alb_dir = flux_ops.expand_bands_to_gpt(sfc_alb_dir, kdc.gpt2band)
-        alb_dif = flux_ops.expand_bands_to_gpt(sfc_alb_dif, kdc.gpt2band)
+        alb_dir = jax.lax.slice_in_dim(alb_dir_full, g0, g1, axis=1)
+        alb_dif = jax.lax.slice_in_dim(alb_dif_full, g0, g1, axis=1)
 
         if not output_bnd_fluxes:
             up_bb, dn_bb, dir_bb = rte_sw.sw_solver_2stream_broadband(

@@ -286,7 +286,7 @@ def _interp3d_rows(kd: KDist, table_rows, interp: Interp, scale_by_colmix):
 def _interp3d_rows_pallas(kd: KDist, table_rows, interp: Interp,
                           scale_by_colmix, masks):
     """Pallas lowering of _interp3d_rows (same math, VMEM-resident table)."""
-    from .pallas import interp_rows_pallas
+    from .pallas import interp_rows_pallas, kernel_opts
 
     import os
 
@@ -306,10 +306,9 @@ def _interp3d_rows_pallas(kd: KDist, table_rows, interp: Interp,
             _resolve_flav(interp.col_mix[:, :, i * F:(i + 1) * F], masks,
                           tropo).reshape(N, G) for i in range(2))
 
-    block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
     out = interp_rows_pallas(
         table_rows, rows.astype(jnp.int32), jes, fms,
-        fp=fp, cms=cms, neta=neta, block=block)
+        fp=fp, cms=cms, neta=neta, **kernel_opts())
     return out.reshape(C, L, G)
 
 
@@ -346,18 +345,17 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp):
     if config.use_pallas() and dtype == jnp.float32:
         import os
 
-        from .pallas import interp_rows_multi
+        from .pallas import interp_rows_multi, kernel_opts
 
         C, L = interp.tropo.shape
         G = kd.kmajor_rows.shape[2]
         masks = _flavor_masks(kd, dtype)
         rows, jes, fms, fp, cms = _fused_inputs(kd, interp, masks, True)
-        block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
         tau, pfrac = interp_rows_multi(
             [kd.kmajor_rows, kd.planck_rows], [rows, rows], jes, fms,
             [fp, fp], [cms, None],
             metas=(((0, 0, 1, 1), True, True), ((0, 0, 1, 1), True, False)),
-            neta=kd.neta, block=block)
+            neta=kd.neta, **kernel_opts())
         return tau.reshape(C, L, G), pfrac.reshape(C, L, G)
     return (_interp3d_rows(kd, kd.kmajor_rows, interp, scale_by_colmix=True),
             _interp3d_rows(kd, kd.planck_rows, interp, scale_by_colmix=False))
@@ -370,7 +368,7 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
     if config.use_pallas() and dtype == jnp.float32:
         import os
 
-        from .pallas import interp_rows_multi
+        from .pallas import interp_rows_multi, kernel_opts
 
         C, L = interp.tropo.shape
         G = kd.kmajor_rows.shape[2]
@@ -380,12 +378,11 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
         it = np.arange(2, dtype=np.int32)[None, None, :]
         rows_ray = ((interp.itropo01 * ntemp + interp.jtemp0)[:, :, None]
                     + it).reshape(C * L, 2).astype(jnp.int32)
-        block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
         tau, kloc = interp_rows_multi(
             [kd.kmajor_rows, kd.krayl_rows], [rows, rows_ray], jes, fms,
             [fp, None], [cms, None],
             metas=(((0, 0, 1, 1), True, True), ((0, 1), False, False)),
-            neta=kd.neta, block=block)
+            neta=kd.neta, **kernel_opts())
         fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
         return tau.reshape(C, L, G), kloc.reshape(C, L, G) * fac
     return (tau_major(kd, interp),
@@ -455,7 +452,7 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
         # the scaling plane).
         import os
 
-        from .pallas import interp_rows_pallas
+        from .pallas import interp_rows_pallas, kernel_opts
 
         cols, scal_cols = [], []
         ordered = []  # (spec,) in lower-then-upper order
@@ -502,10 +499,9 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
 
         it = np.arange(2, dtype=np.int32)[None, None, :]
         rows = (jt[:, :, None] + it).reshape(N, 2)
-        block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
         ltau_all = interp_rows_pallas(
             tbl, rows.astype(jnp.int32), jes2, fms4,
-            neta=kd.neta, block=block, corner_itemp=(0, 1))
+            neta=kd.neta, corner_itemp=(0, 1), **kernel_opts())
         upd_all = (ltau_all * scal_plane).reshape(C, L, CT)
         off = 0
         for spec in ordered:
@@ -569,17 +565,16 @@ def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
     if config.use_pallas() and dtype == jnp.float32:
         import os
 
-        from .pallas import interp_rows_pallas
+        from .pallas import interp_rows_pallas, kernel_opts
 
         C, L = tropo.shape
         N = C * L
         G = kd.krayl_rows.shape[2]
         jes, fms = _kernel_resolves(kd, interp, masks)
-        block = int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256"))
         kloc = interp_rows_pallas(
             kd.krayl_rows, rows.reshape(N, 2).astype(jnp.int32),
-            jes, fms, neta=neta, block=block,
-            corner_itemp=(0, 1)).reshape(C, L, G)
+            jes, fms, neta=neta, corner_itemp=(0, 1),
+            **kernel_opts()).reshape(C, L, G)
         return kloc * fac
 
     slab = jnp.take(kd.krayl_rows, rows, axis=0)      # (C,L,2,E,G)

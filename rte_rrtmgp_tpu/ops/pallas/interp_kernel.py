@@ -41,6 +41,20 @@ from jax.experimental.pallas import tpu as pltpu
 ETA_STRIDE = 16
 
 
+def kernel_opts() -> dict:
+    """Tunable kernel knobs, read from the environment at trace time (the
+    autotuner sweeps candidates in separate subprocesses so these are
+    fixed per process — tuning/tune_radiation.py)."""
+    import os
+
+    return dict(
+        block=int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256")),
+        unroll=int(os.environ.get("RTE_RRTMGP_PALLAS_UNROLL", "4")),
+        vec=os.environ.get("RTE_RRTMGP_PALLAS_VEC", "0")
+        not in ("0", "false", "off"),
+    )
+
+
 def _kernel(corner_itemp, has_fp, has_cm, rows_ref, *refs):
     nc = len(corner_itemp)
     k = 0
@@ -89,7 +103,114 @@ def _kernel(corner_itemp, has_fp, has_cm, rows_ref, *refs):
     jax.lax.fori_loop(0, B, body, 0)
 
 
-def _kernel_multi(metas, rows_ref, *refs):
+def _kernel_multi_vec(metas, rows_ref, *refs):
+    """Vectorized multi-op variant: VC cells per loop iteration.
+
+    The scalar kernel's per-cell work is (1, G)/(16, G) ops — 1/8th or
+    2-sublane VPU utilization and ~147k fori_loop iterations per call,
+    which makes the op loop-overhead-bound rather than bandwidth-bound.
+    Here VC=8 cells are processed per iteration: the per-cell (16, G) eta
+    slabs are packed cell-major into a (VC*16, G) scratch, the per-cell
+    weight planes are expanded to (VC*16, G) by an exact one-hot MXU
+    matmul (P[16c+e, c] = 1), and the per-cell eta contraction is ONE
+    one-hot MXU matmul (S @ prod, S[c, 16c+e] = 1 — exact: unit weights,
+    16-term f32 sums) per op instead of per-corner (1, G) reductions.
+    Loop count drops 8x and every VPU op runs at full sublane width."""
+    VC = 8
+    any_fp = any(m[1] for m in metas)
+    k = 0
+    fp_ref = None
+    if any_fp:
+        fp_ref = refs[0]
+        k = 1
+    je_refs = refs[k:k + 2]
+    fm_refs = refs[k + 2:k + 6]
+    k += 6
+    cm_refs = []
+    for m in metas:
+        if m[2]:
+            cm_refs.append(refs[k:k + 2])
+            k += 2
+        else:
+            cm_refs.append(None)
+    n_t = len(metas)
+    tables = refs[k:k + n_t]
+    outs = refs[k + n_t:k + 2 * n_t]
+    s0_ref, s1_ref = refs[k + 2 * n_t:k + 2 * n_t + 2]
+    B = outs[0].shape[0]
+    G = outs[0].shape[1]
+    dtype = outs[0].dtype
+    R = VC * ETA_STRIDE
+
+    # Loop-invariant index planes: eta position within each 16-row block,
+    # the cell-expansion one-hot (row 16c+e <- cell c) and its transpose
+    # (the per-cell sum) for the MXU expansion/contraction matmuls.
+    e_mod = (jax.lax.broadcasted_iota(jnp.int32, (R, G), 0)
+             % ETA_STRIDE).astype(dtype)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (VC, R), 1) // ETA_STRIDE
+    cell = jax.lax.broadcasted_iota(jnp.int32, (VC, R), 0)
+    s_sum = (blk == cell).astype(dtype)                    # (VC, VC*16)
+    p_exp = s_sum.T                                        # (VC*16, VC)
+    dn = (((1,), (0,)), ((), ()))
+
+    def rep(a):
+        """(VC, W) -> (VC*16, W): rows repeated 16x consecutively, as an
+        exact one-hot matmul (one unit-weight product per output)."""
+        return jax.lax.dot_general(p_exp, a.astype(dtype), dn,
+                                   preferred_element_type=dtype)
+
+    def body(gi, _):
+        b0 = gi * VC
+        fpr = rep(fp_ref[pl.ds(b0, VC), :]) if any_fp else None  # (R, 1)
+        w_i = [None, None]
+
+        def weights(i):
+            if w_i[i] is None:
+                jer = rep(je_refs[i][pl.ds(b0, VC), :])   # exact small ints
+                sel0 = (e_mod == jer).astype(dtype)
+                sel1 = (e_mod == jer + 1.0).astype(dtype)
+                w_i[i] = (rep(fm_refs[2 * i][pl.ds(b0, VC), :]) * sel0
+                          + rep(fm_refs[2 * i + 1][pl.ds(b0, VC), :]) * sel1)
+            return w_i[i]
+
+        col = 0
+        for iop, (corner_itemp, has_fp, has_cm) in enumerate(metas):
+            nc = len(corner_itemp)
+            acc = jnp.zeros((R, G), dtype)
+            if has_fp:
+                # (i0p0, i0p1, i1p0, i1p1): merge the pressure pair first.
+                for i in (0, 1):
+                    for c in range(VC):
+                        r0 = rows_ref[b0 + c, col + 2 * i] * ETA_STRIDE
+                        r1 = rows_ref[b0 + c, col + 2 * i + 1] * ETA_STRIDE
+                        s0_ref[pl.ds(c * ETA_STRIDE, ETA_STRIDE), :] = \
+                            tables[iop][pl.ds(r0, ETA_STRIDE), :]
+                        s1_ref[pl.ds(c * ETA_STRIDE, ETA_STRIDE), :] = \
+                            tables[iop][pl.ds(r1, ETA_STRIDE), :]
+                    slab = (1.0 - fpr) * s0_ref[...] + fpr * s1_ref[...]
+                    pair = weights(i) * slab
+                    if has_cm:
+                        pair = pair * rep(cm_refs[iop][i][pl.ds(b0, VC), :])
+                    acc = acc + pair
+            else:
+                for c_i, i in enumerate(corner_itemp):
+                    for c in range(VC):
+                        r = rows_ref[b0 + c, col + c_i] * ETA_STRIDE
+                        s0_ref[pl.ds(c * ETA_STRIDE, ETA_STRIDE), :] = \
+                            tables[iop][pl.ds(r, ETA_STRIDE), :]
+                    pair = weights(i) * s0_ref[...]
+                    if has_cm:
+                        pair = pair * rep(cm_refs[iop][i][pl.ds(b0, VC), :])
+                    acc = acc + pair
+            outs[iop][pl.ds(b0, VC), :] = jax.lax.dot_general(
+                s_sum, acc, dn, preferred_element_type=dtype)
+            col += nc
+        return 0
+
+    jax.lax.fori_loop(0, B // VC, body, 0)
+
+
+def _kernel_multi(metas, unroll, rows_ref, *refs):
     """Multi-op variant: several tables interpolated per cell in ONE pass,
     sharing the per-cell eta weight matrices, the pressure fraction and the
     loop overhead.  ``metas`` is a static tuple of
@@ -98,7 +219,13 @@ def _kernel_multi(metas, rows_ref, *refs):
 
     4-corner ops (corner layout i0p0, i0p1, i1p0, i1p1) merge the two
     pressure slabs BEFORE the eta contraction — one weighted sum per
-    temperature pair instead of two."""
+    temperature pair instead of two.
+
+    ``unroll`` cells are processed per fori_loop iteration: their
+    dependency chains are independent, so Mosaic can interleave the
+    per-cell (16, G) slice + multiply-add chains and the loop/address
+    bookkeeping amortizes (the loop is iteration-overhead-bound at ~150k
+    cells per call)."""
     any_fp = any(m[1] for m in metas)
     k = 0
     fp_ref = None
@@ -121,7 +248,7 @@ def _kernel_multi(metas, rows_ref, *refs):
     G = outs[0].shape[1]
     e_iota = jax.lax.broadcasted_iota(jnp.int32, (ETA_STRIDE, G), 0)
 
-    def body(b, _):
+    def cell(b):
         fp = fp_ref[b, 0] if any_fp else None
         w_i = [None, None]
 
@@ -159,14 +286,20 @@ def _kernel_multi(metas, rows_ref, *refs):
                     acc = acc + pair
             outs[iop][b, :] = acc[0]
             col += nc
+
+    def body(gi, _):
+        for u in range(unroll):
+            cell(gi * unroll + u)
         return 0
 
-    jax.lax.fori_loop(0, B, body, 0)
+    jax.lax.fori_loop(0, B // unroll, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("metas", "neta", "block"))
+@functools.partial(jax.jit, static_argnames=("metas", "neta", "block", "vec",
+                                             "unroll"))
 def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
-                      metas: tuple, neta: int, block: int = 256):
+                      metas: tuple, neta: int, block: int = 256,
+                      vec: bool = False, unroll: int = 4):
     """Fused multi-table interpolation: one kernel pass over the cells
     serving several (table, corners) ops that share the flavor-resolved
     eta weights — e.g. LW kmajor + planck_frac, SW kmajor + krayl.
@@ -200,6 +333,9 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
                     for cms in cms_list]
     n_pad = N + pad
 
+    vec = vec and block % 8 == 0
+    while block % unroll:
+        unroll -= 1
     plane = pl.BlockSpec((block, G), lambda ib: (ib, 0),
                          memory_space=pltpu.VMEM)
     operands = [rows]
@@ -208,7 +344,8 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
     if any_fp:
         operands.append(fp.reshape(-1, 1))
         specs.append(pl.BlockSpec((block, 1), lambda ib: (ib, 0),
-                                  memory_space=pltpu.SMEM))
+                                  memory_space=pltpu.VMEM if vec
+                                  else pltpu.SMEM))
     operands.extend(jes)
     operands.extend(fms)
     specs.extend([plane] * 6)
@@ -222,20 +359,25 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
                                   memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
-        functools.partial(_kernel_multi, metas),
+        functools.partial(_kernel_multi_vec, metas) if vec
+        else functools.partial(_kernel_multi, metas, unroll),
         grid=(n_pad // block,),
         in_specs=specs,
         out_specs=[plane] * len(metas),
         out_shape=[jax.ShapeDtypeStruct((n_pad, G), dtype)] * len(metas),
+        scratch_shapes=([pltpu.VMEM((8 * ETA_STRIDE, G), dtype)] * 2
+                        if vec else []),
     )(*operands)
     return [o[:N] if pad else o for o in outs]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("neta", "block", "corner_itemp"))
+                   static_argnames=("neta", "block", "corner_itemp", "vec",
+                                    "unroll"))
 def interp_rows_pallas(table, rows, jes, fms, *, fp=None, cms=None,
                        neta: int, block: int = 256,
-                       corner_itemp: tuple = (0, 0, 1, 1)):
+                       corner_itemp: tuple = (0, 0, 1, 1),
+                       vec: bool = False, unroll: int = 4):
     """table (R, E, G) unpadded row layout; rows (N, NC) *unscaled* row
     indices; jes = (je_itemp0, je_itemp1) each (N, G) int32; fms = the four
     fminor weight planes (N, G) in (itemp*2 + deta) order (shared across
@@ -244,6 +386,14 @@ def interp_rows_pallas(table, rows, jes, fms, *, fp=None, cms=None,
     for the 4-corner (i0p0, i0p1, i1p0, i1p1) layout; cms = per-itemp
     col_mix planes for the tau variant.  corner_itemp maps each corner to
     its temperature pair.  Returns (N, G)."""
+    if block % 8 == 0:
+        # Single-op = one-entry multi: shares the unrolled/vectorized
+        # kernel bodies.  The scalar body below is kept as the reference
+        # implementation for arbitrary block sizes.
+        return interp_rows_multi(
+            [table], [rows], jes, fms, [fp], [cms],
+            metas=((tuple(corner_itemp), fp is not None, cms is not None),),
+            neta=neta, block=block, vec=vec, unroll=unroll)[0]
     N, G = fms[0].shape
     NC = len(corner_itemp)
     assert len(jes) == 2 and len(fms) == 4, (len(jes), len(fms), NC)

@@ -138,12 +138,19 @@ def lw_solver_noscat_broadband(tau, lay_src, lev_src, sfc_emis, sfc_src,
             sfc_emis, sfc_src = z2(sfc_emis), z2(sfc_src)
             sfc_src_jac, inc_flux = z2(sfc_src_jac), z2(inc_flux)
         fu = fd = fj = 0.0
-        for imu in range(n_gauss_angles):
-            u, d, j = sk.lw_sweep_broadband(
-                tau, lay_src, lev_src, sfc_emis, sfc_src, sfc_src_jac,
-                inc_flux, D=float(GAUSS_DS[n_gauss_angles - 1, imu]),
-                w=float(GAUSS_WTS[n_gauss_angles - 1, imu]))
-            fu, fd, fj = fu + u, fd + d, fj + j
+        # The kernel flattens nlay*G onto lanes; G > 128 would exceed its
+        # scoped-VMEM budget, so wide spectral chunks run as 128-g-point
+        # sub-sweeps (g-points are independent; broadband = sum).
+        for gs in range(0, tau.shape[2], 128):
+            sl3 = lambda a: jax.lax.slice_in_dim(a, gs, gs + 128, axis=2)
+            sl2 = lambda a: jax.lax.slice_in_dim(a, gs, gs + 128, axis=1)
+            for imu in range(n_gauss_angles):
+                u, d, j = sk.lw_sweep_broadband(
+                    sl3(tau), sl3(lay_src), sl3(lev_src), sl2(sfc_emis),
+                    sl2(sfc_src), sl2(sfc_src_jac), sl2(inc_flux),
+                    D=float(GAUSS_DS[n_gauss_angles - 1, imu]),
+                    w=float(GAUSS_WTS[n_gauss_angles - 1, imu]))
+                fu, fd, fj = fu + u, fd + d, fj + j
         return fu, fd, fj
     up, dn, jac = lw_solver_noscat(tau, lay_src, lev_src, sfc_emis, sfc_src,
                                    sfc_src_jac, inc_flux, n_gauss_angles)

@@ -147,9 +147,18 @@ def sw_solver_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
             inc_flux_dir = z2(inc_flux_dir)
             if inc_flux_dif is not None:
                 inc_flux_dif = z2(inc_flux_dif)
-        return sk.sw_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir,
-                                       sfc_alb_dif, inc_flux_dir,
-                                       inc_flux_dif)
+        # 128-g-point sub-sweeps: the kernel flattens nlay*G onto lanes and
+        # G > 128 exceeds its scoped-VMEM budget (broadband = sum over g).
+        fu = fd = fr = 0.0
+        for gs in range(0, tau.shape[2], 128):
+            sl3 = lambda a: jax.lax.slice_in_dim(a, gs, gs + 128, axis=2)
+            sl2 = lambda a: jax.lax.slice_in_dim(a, gs, gs + 128, axis=1)
+            u, d, r = sk.sw_2stream_broadband(
+                sl3(tau), sl3(ssa), sl3(g), mu0, sl2(sfc_alb_dir),
+                sl2(sfc_alb_dif), sl2(inc_flux_dir),
+                None if inc_flux_dif is None else sl2(inc_flux_dif))
+            fu, fd, fr = fu + u, fd + d, fr + r
+        return fu, fd, fr
     up, dn, fdir = sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir,
                                      sfc_alb_dif, inc_flux_dir, inc_flux_dif)
     return up.sum(-1), dn.sum(-1), fdir.sum(-1)

@@ -192,16 +192,27 @@ def test_multi_op_pass_matches_singles():
                    ((0, 1), False, False)),
             neta=E, block=32)
         # Note: single-op kernel uses corner order (i0p0, i0p1, i1p0, i1p1)
-        # with odd corners weighted fp — same convention.
+        # with odd corners weighted fp — same convention.  block=31 forces
+        # the scalar per-cell reference body (31 % 8 != 0), so this also
+        # checks vectorized (8-cells-per-iteration) vs scalar parity.
         s1 = interp_rows_pallas(tbl1, rows4, jes, fms, fp=fp, cms=cms,
-                                neta=E, block=32)
+                                neta=E, block=31)
         s2 = interp_rows_pallas(tbl2, rows4, jes, fms, fp=fp, neta=E,
-                                block=32)
-        s3 = interp_rows_pallas(tbl3, rows2, jes, fms, neta=E, block=32,
+                                block=31)
+        s3 = interp_rows_pallas(tbl3, rows2, jes, fms, neta=E, block=31,
                                 corner_itemp=(0, 1))
+        mv = interp_rows_multi(
+            [tbl1, tbl2, tbl3], [rows4, rows4, rows2], jes, fms,
+            [fp, fp, None], [cms, None, None],
+            metas=(((0, 0, 1, 1), True, True),
+                   ((0, 0, 1, 1), True, False),
+                   ((0, 1), False, False)),
+            neta=E, block=32, vec=False)
     np.testing.assert_allclose(m1, s1, rtol=2e-6, atol=1e-6)
     np.testing.assert_allclose(m2, s2, rtol=2e-6, atol=1e-6)
     np.testing.assert_allclose(m3, s3, rtol=2e-6, atol=1e-6)
+    for m, s in zip((m1, m2, m3), mv):
+        np.testing.assert_allclose(m, np.asarray(s), rtol=2e-6, atol=1e-6)
 
 
 def test_fused_gas_optics_entries_match_unfused():

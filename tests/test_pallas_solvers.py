@@ -104,3 +104,28 @@ def test_sw_2stream_with_diffuse_inc_and_padding():
     np.testing.assert_allclose(ub, np.asarray(up).sum(-1), rtol=3e-5, atol=1e-2)
     np.testing.assert_allclose(db, np.asarray(dn).sum(-1), rtol=3e-5, atol=1e-2)
     np.testing.assert_allclose(fb, np.asarray(fdir).sum(-1), rtol=3e-5, atol=1e-2)
+
+
+def test_broadband_wrappers_subchunk_wide_spectra(monkeypatch):
+    """G > 128 spectral chunks run as 128-g-point sub-sweeps inside the
+    broadband wrappers (the kernel's scoped-VMEM budget caps nlay*G on
+    lanes); sub-chunked Pallas == g-point-summed XLA."""
+    monkeypatch.setattr(sk, "solvers_available", lambda dtype, nlev: True)
+
+    tau, lay, lev, emis, ssrc, sjac, inc = _lw_inputs(ncol=6, ngpt=256)
+    up, dn, jac = rte_lw.lw_solver_noscat(tau, lay, lev, emis, ssrc, sjac, inc)
+    with pltpu.force_tpu_interpret_mode():
+        fu, fd, fj = rte_lw.lw_solver_noscat_broadband(
+            tau, lay, lev, emis, ssrc, sjac, inc)
+    np.testing.assert_allclose(fu, np.asarray(up).sum(-1), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(fd, np.asarray(dn).sum(-1), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(fj, np.asarray(jac).sum(-1), rtol=2e-5, atol=1e-3)
+
+    tau, ssa, g, mu0, adir, adif, inc = _sw_inputs(ncol=6, ngpt=192)
+    up, dn, fdir = rte_sw.sw_solver_2stream(tau, ssa, g, mu0, adir, adif, inc)
+    with pltpu.force_tpu_interpret_mode():
+        ub, db, fb = rte_sw.sw_solver_2stream_broadband(
+            tau, ssa, g, mu0, adir, adif, inc)
+    np.testing.assert_allclose(ub, np.asarray(up).sum(-1), rtol=3e-5, atol=1e-2)
+    np.testing.assert_allclose(db, np.asarray(dn).sum(-1), rtol=3e-5, atol=1e-2)
+    np.testing.assert_allclose(fb, np.asarray(fdir).sum(-1), rtol=3e-5, atol=1e-2)

@@ -105,15 +105,34 @@ def main():
     print(f"\nwinner: {best} ({best_dt*1e3:.2f} ms)")
 
     # Persist through the tuner cache (so other processes can consult it).
+    entry = {
+        "config": best, "ms": best_dt * 1e3,
+        "all": [{"config": c, "ms": d * 1e3} for d, c in results],
+    }
+    key = tuner._key("radiation_step", {"ncol": NCOL, "nlay": NLAY})
     tuner._load_disk()
     with tuner._lock:
-        tuner._memory_cache[tuner._key(
-            "radiation_step", {"ncol": NCOL, "nlay": NLAY})] = {
-            "config": best, "ms": best_dt * 1e3,
-            "all": [{"config": c, "ms": d * 1e3} for d, c in results],
-        }
+        tuner._memory_cache[key] = entry
         tuner._save_disk()
     print(f"persisted to {tuner._cache_path()}")
+
+    # Also refresh the checked-in winners table (the analog of the
+    # reference's persisted rte_rrtmgp_kernel_tuning.txt,
+    # include/tuner.h:27-37) so cold environments start at the tuned point.
+    import platform as _platform
+
+    import jax
+    defaults_path = tuner._repo_defaults_path()
+    try:
+        with open(defaults_path) as f:
+            defaults = json.load(f)
+    except (OSError, ValueError):
+        defaults = {}
+    defaults[key] = dict(entry, platform=jax.devices()[0].platform,
+                         host=_platform.machine())
+    with open(defaults_path, "w") as f:
+        json.dump(defaults, f, indent=1, sort_keys=True)
+    print(f"persisted to {defaults_path}")
 
 
 if __name__ == "__main__":
