@@ -210,7 +210,7 @@ def _kernel_multi_vec(metas, rows_ref, *refs):
     jax.lax.fori_loop(0, B // VC, body, 0)
 
 
-def _kernel_multi(metas, unroll, rows_ref, *refs):
+def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
     """Multi-op variant: several tables interpolated per cell in ONE pass,
     sharing the per-cell eta weight matrices, the pressure fraction and the
     loop overhead.  ``metas`` is a static tuple of
@@ -225,7 +225,14 @@ def _kernel_multi(metas, unroll, rows_ref, *refs):
     dependency chains are independent, so Mosaic can interleave the
     per-cell (16, G) slice + multiply-add chains and the loop/address
     bookkeeping amortizes (the loop is iteration-overhead-bound at ~150k
-    cells per call)."""
+    cells per call).
+
+    ``paired`` (requires neta <= 9, the RRTMGP mixing-fraction
+    resolution): the table rows hold [eta 0..7 | eta 1..8] half-slab
+    pairs, so the eta contraction is ONE (8, G) compare + two-term
+    combine — fm0*T[je] + fm1*T[je+1] == sum_e [e==je](fm0*Tlo + fm1*Thi)
+    — instead of two 16-row one-hot select-sums: every vector op runs at
+    (8, G) = one vreg and the op count per cell nearly halves."""
     any_fp = any(m[1] for m in metas)
     k = 0
     fp_ref = None
@@ -246,41 +253,60 @@ def _kernel_multi(metas, unroll, rows_ref, *refs):
     outs = refs[k + len(metas):]
     B = outs[0].shape[0]
     G = outs[0].shape[1]
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (ETA_STRIDE, G), 0)
+    H = ETA_STRIDE // 2
+    dtype = outs[0].dtype
+    e_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                      (H if paired else ETA_STRIDE, G), 0)
 
     def cell(b):
         fp = fp_ref[b, 0] if any_fp else None
         w_i = [None, None]
 
         def weights(i):
+            """Paired: (sel, fm0, fm1) with sel an (8, G) one-hot on je;
+            plain: the (16, G) two-corner eta weight matrix."""
             if w_i[i] is None:
                 je = je_refs[i][b, :][None, :]
-                sel0 = (e_iota == je).astype(outs[0].dtype)
-                sel1 = (e_iota == je + 1).astype(outs[0].dtype)
-                w_i[i] = (fm_refs[2 * i][b, :][None, :] * sel0
-                          + fm_refs[2 * i + 1][b, :][None, :] * sel1)
+                fm0 = fm_refs[2 * i][b, :][None, :]
+                fm1 = fm_refs[2 * i + 1][b, :][None, :]
+                if paired:
+                    w_i[i] = ((e_iota == je).astype(dtype), fm0, fm1)
+                else:
+                    sel0 = (e_iota == je).astype(dtype)
+                    sel1 = (e_iota == je + 1).astype(dtype)
+                    w_i[i] = fm0 * sel0 + fm1 * sel1
             return w_i[i]
+
+        def contract(i, slab_at):
+            """Eta-contract the (pressure-merged) slab for temp pair i;
+            slab_at(off, n) loads n rows at in-slab offset off."""
+            if paired:
+                sel, fm0, fm1 = weights(i)
+                comb = fm0 * slab_at(0, H) + fm1 * slab_at(H, H)
+                return jnp.sum(sel * comb, axis=0, keepdims=True)
+            return jnp.sum(weights(i) * slab_at(0, ETA_STRIDE), axis=0,
+                           keepdims=True)
 
         col = 0
         for iop, (corner_itemp, has_fp, has_cm) in enumerate(metas):
             nc = len(corner_itemp)
-            acc = jnp.zeros((1, G), outs[0].dtype)
+            acc = jnp.zeros((1, G), dtype)
             if has_fp:
                 # (i0p0, i0p1, i1p0, i1p1): merge the pressure pair first.
                 for i in (0, 1):
                     r0 = rows_ref[b, col + 2 * i] * ETA_STRIDE
                     r1 = rows_ref[b, col + 2 * i + 1] * ETA_STRIDE
-                    slab = ((1.0 - fp) * tables[iop][pl.ds(r0, ETA_STRIDE), :]
-                            + fp * tables[iop][pl.ds(r1, ETA_STRIDE), :])
-                    pair = jnp.sum(weights(i) * slab, axis=0, keepdims=True)
+                    pair = contract(i, lambda o, n: (
+                        (1.0 - fp) * tables[iop][pl.ds(r0 + o, n), :]
+                        + fp * tables[iop][pl.ds(r1 + o, n), :]))
                     if has_cm:
                         pair = pair * cm_refs[iop][i][b, :][None, :]
                     acc = acc + pair
             else:
                 for c, i in enumerate(corner_itemp):
                     r = rows_ref[b, col + c] * ETA_STRIDE
-                    slab = tables[iop][pl.ds(r, ETA_STRIDE), :]
-                    pair = jnp.sum(weights(i) * slab, axis=0, keepdims=True)
+                    pair = contract(i, lambda o, n:
+                                    tables[iop][pl.ds(r + o, n), :])
                     if has_cm:
                         pair = pair * cm_refs[iop][i][b, :][None, :]
                     acc = acc + pair
@@ -296,10 +322,11 @@ def _kernel_multi(metas, unroll, rows_ref, *refs):
 
 
 @functools.partial(jax.jit, static_argnames=("metas", "neta", "block", "vec",
-                                             "unroll"))
+                                             "unroll", "paired"))
 def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
                       metas: tuple, neta: int, block: int = 256,
-                      vec: bool = False, unroll: int = 4):
+                      vec: bool = False, unroll: int = 4,
+                      paired: bool = False):
     """Fused multi-table interpolation: one kernel pass over the cells
     serving several (table, corners) ops that share the flavor-resolved
     eta weights — e.g. LW kmajor + planck_frac, SW kmajor + krayl.
@@ -314,10 +341,25 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
     any_fp = any(m[1] for m in metas)
     fp = next((f for f in fps if f is not None), None)
 
+    vec = vec and block % 8 == 0
+    H = ETA_STRIDE // 2
+    # Paired half-slab layout (see _kernel_multi): rows hold
+    # [eta 0..H-1 | eta 1..H] so the kernel contracts (H, G) half-slabs.
+    # Measured SLOWER than the plain layout on the v5e (8.8 vs 6.9 ms/call
+    # at the production shape: it doubles the dynamic-slice count per cell
+    # and per-slice issue cost dominates) — off by default, kept as a
+    # tested option for architectures where slice issue is cheaper.
+    paired = paired and (not vec) and neta <= H + 1
+
     tbls = []
     for t in tables:
         assert t.shape[1] == neta and t.shape[2] == G, (t.shape, neta, G)
-        tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
+        if paired:
+            t9 = (t if neta == H + 1 else
+                  jnp.pad(t, ((0, 0), (0, H + 1 - neta), (0, 0))))
+            tp = jnp.concatenate([t9[:, :H], t9[:, 1:H + 1]], axis=1)
+        else:
+            tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
         tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, G))
 
     rows = jnp.concatenate(rows_list, axis=1)
@@ -333,7 +375,6 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
                     for cms in cms_list]
     n_pad = N + pad
 
-    vec = vec and block % 8 == 0
     while block % unroll:
         unroll -= 1
     plane = pl.BlockSpec((block, G), lambda ib: (ib, 0),
@@ -360,7 +401,7 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
 
     outs = pl.pallas_call(
         functools.partial(_kernel_multi_vec, metas) if vec
-        else functools.partial(_kernel_multi, metas, unroll),
+        else functools.partial(_kernel_multi, metas, unroll, paired),
         grid=(n_pad // block,),
         in_specs=specs,
         out_specs=[plane] * len(metas),

@@ -208,10 +208,19 @@ def test_multi_op_pass_matches_singles():
                    ((0, 0, 1, 1), True, False),
                    ((0, 1), False, False)),
             neta=E, block=32, vec=False)
+        mpair = interp_rows_multi(
+            [tbl1, tbl2, tbl3], [rows4, rows4, rows2], jes, fms,
+            [fp, fp, None], [cms, None, None],
+            metas=(((0, 0, 1, 1), True, True),
+                   ((0, 0, 1, 1), True, False),
+                   ((0, 1), False, False)),
+            neta=E, block=32, paired=True)
     np.testing.assert_allclose(m1, s1, rtol=2e-6, atol=1e-6)
     np.testing.assert_allclose(m2, s2, rtol=2e-6, atol=1e-6)
     np.testing.assert_allclose(m3, s3, rtol=2e-6, atol=1e-6)
     for m, s in zip((m1, m2, m3), mv):
+        np.testing.assert_allclose(m, np.asarray(s), rtol=2e-6, atol=1e-6)
+    for m, s in zip((m1, m2, m3), mpair):
         np.testing.assert_allclose(m, np.asarray(s), rtol=2e-6, atol=1e-6)
 
 

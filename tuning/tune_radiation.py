@@ -69,19 +69,19 @@ def run_candidate(cand):
 def main():
     from rte_rrtmgp_tpu.utils import tuner
 
-    candidates = []
-    for chunk in (64, 128):
-        for pallas in (0, 1):
-            blocks = (128, 256, 512) if pallas else (0,)
-            for blk in blocks:
-                candidates.append(
-                    {"gpt_chunk": chunk, "pallas": pallas, "block": blk})
+    candidates = [{"gpt_chunk": 128, "pallas": 0, "block": 0, "unroll": 0},
+                  {"gpt_chunk": 64, "pallas": 1, "block": 256, "unroll": 4}]
+    for chunk in (128, 256):
+        for unroll in (1, 4, 8):
+            candidates.append({"gpt_chunk": chunk, "pallas": 1,
+                               "block": 256, "unroll": unroll})
 
     results = []
     for cand in candidates:
         env = dict(os.environ)
         env["RTE_RRTMGP_PALLAS"] = str(cand["pallas"])
         env["RTE_RRTMGP_PALLAS_BLOCK"] = str(cand["block"] or 256)
+        env["RTE_RRTMGP_PALLAS_UNROLL"] = str(cand.get("unroll") or 4)
         env["TUNE_NCOL"], env["TUNE_NLAY"] = str(NCOL), str(NLAY)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
