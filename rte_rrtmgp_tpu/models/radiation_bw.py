@@ -128,7 +128,9 @@ class RadiationSolverBW:
               mode: str = "image", n_sub: int = 3,
               delta_cloud: bool = False, delta_aerosol: bool = False,
               gpt_chunk: Optional[int] = None, key=None,
-              bg_column: str = "first", dtype=np.float32) -> dict:
+              bg_column: str = "first", steps_per_dispatch: Optional[int] = 4,
+              nee_mode: str = "walk",
+              dtype=np.float32) -> dict:
         """Render a camera view.  mode="image" -> XYZ (3, ny, nx);
         mode="broadband" -> radiance (ny, nx).
 
@@ -199,28 +201,53 @@ class RadiationSolverBW:
         idx_h2o = kd.idx_h2o
         air_col = col_dry * (1.0 + np.asarray(vmr[:, :, idx_h2o - 1]))
 
-        out = _render_impl(
-            kd, key, gas_tau, gas_ssa,
-            None if cld is None else (cld.tau, cld.ssa, cld.g),
-            None if aer is None else (aer.tau, aer.ssa, aer.g),
-            cast(sfc_alb), cast(land_use_map), cast(mu0), cast(azi),
-            cast(air_col), jnp.asarray(z_lev, dtype), jnp.asarray(grid_d, dtype),
-            jnp.asarray(igpt_arr), jnp.asarray(band_arr), jnp.asarray(toaf_arr),
-            jnp.asarray(xyz_arr), jnp.asarray(rayl_arr), jnp.asarray(solar),
-            camera=camera, grid_cells=tuple(grid_cells),
-            kn_grid=tuple(kn_grid), photons_per_pixel=photons_per_pixel,
-            mode=mode, bg_column=bg_column)
-        return out
+        # Spectral steps run in host-side dispatch chunks (the reference
+        # driver also launches per-g-point kernels from the host,
+        # Radiation_solver_bw.cu:960-1120).  One giant fused scan over all
+        # steps is a single device program whose runtime grows with the
+        # spectral count — long renders then trip the TPU worker's
+        # execution watchdog.  Chunks reuse ONE jit specialization; the
+        # last chunk is padded with zero-weight steps (toa_factor = 0
+        # contributes exactly nothing).
+        n_steps = len(igpt_arr)
+        spd = min(steps_per_dispatch or n_steps, n_steps)
+        acc = None
+        for s0 in range(0, n_steps, spd):
+            sl = slice(s0, s0 + spd)
+            pad = spd - len(igpt_arr[sl])
+            p1 = lambda a: np.pad(a[sl], [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+            part = _render_impl(
+                kd, jax.random.fold_in(key, 1000003 * s0), gas_tau, gas_ssa,
+                None if cld is None else (cld.tau, cld.ssa, cld.g),
+                None if aer is None else (aer.tau, aer.ssa, aer.g),
+                cast(sfc_alb), cast(land_use_map), cast(mu0), cast(azi),
+                cast(air_col), jnp.asarray(z_lev, dtype),
+                jnp.asarray(grid_d, dtype),
+                jnp.asarray(p1(igpt_arr)), jnp.asarray(p1(band_arr)),
+                jnp.asarray(p1(toaf_arr)), jnp.asarray(p1(xyz_arr)),
+                jnp.asarray(p1(rayl_arr)), jnp.asarray(solar),
+                camera=camera, grid_cells=tuple(grid_cells),
+                kn_grid=tuple(kn_grid), photons_per_pixel=photons_per_pixel,
+                mode=mode, bg_column=bg_column, nee_mode=nee_mode)
+            acc = part if acc is None else tuple(a + b
+                                                 for a, b in zip(acc, part))
+        xyz_img, radiance, total_src = acc
+        if mode == "image":
+            # normalize_xyz_camera (Raytracer_bw.cu:339-357)
+            return {"XYZ": xyz_img / jnp.maximum(total_src, 1e-30),
+                    "radiance": radiance}
+        return {"radiance": radiance}
 
 
 @functools.partial(jax.jit, static_argnames=(
     "camera", "grid_cells", "kn_grid", "photons_per_pixel", "mode",
-    "bg_column"))
+    "bg_column", "nee_mode"))
 def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
                  mu0, azi, air_col, z_lev, grid_d,
                  igpt_arr, band_arr, toaf_arr, xyz_arr, rayl_arr, solar,
                  *, camera, grid_cells, kn_grid, photons_per_pixel, mode,
-                 bg_column: str = "first"):
+                 bg_column: str = "first",
+                 nee_mode: str = "walk"):
     dtype = gas_tau.dtype
     nz, ny, nx = grid_cells
     ncol, nlay, ngpt = gas_tau.shape
@@ -320,8 +347,4 @@ def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
     xs = (igpt_arr, band_arr, toaf_arr, xyz_arr, rayl_arr)
     (xyz_img, radiance, total_src), _ = jax.lax.scan(body, acc0, xs)
 
-    if mode == "image":
-        # normalize_xyz_camera (Raytracer_bw.cu:339-357)
-        return {"XYZ": xyz_img / jnp.maximum(total_src, 1e-30),
-                "radiance": radiance}
-    return {"radiance": radiance}
+    return xyz_img, radiance, total_src

@@ -112,8 +112,17 @@ def _camera_rays(camera: Camera, key, n_photons, size, z_top, dtype):
     lane = jnp.arange(n_photons, dtype=jnp.int32)
     pix = lane % npix
     k1, k2 = jax.random.split(key)
-    ui = (pix % camera.nx).astype(dtype) + jax.random.uniform(k1, (n_photons,), dtype)
-    uj = (pix // camera.nx).astype(dtype) + jax.random.uniform(k2, (n_photons,), dtype)
+    u1 = jax.random.uniform(k1, (n_photons,), dtype)
+    u2 = jax.random.uniform(k2, (n_photons,), dtype)
+    return (pix,) + _camera_rays_for(camera, pix, u1, u2, size, z_top, dtype)
+
+
+def _camera_rays_for(camera: Camera, pix, u1, u2, size, z_top, dtype):
+    """Positions/directions for given pixel ids with stratified jitter
+    (u1, u2) — the respawnable core of :func:`_camera_rays`."""
+    n_photons = pix.shape[0]
+    ui = (pix % camera.nx).astype(dtype) + u1
+    uj = (pix // camera.nx).astype(dtype) + u2
     i = ui / camera.nx
     j = uj / camera.ny
     size_x, size_y, size_z = size
@@ -152,7 +161,7 @@ def _camera_rays(camera: Camera, key, n_photons, size, z_top, dtype):
                     pos_adj.at[:, 2].set(z_top), pos)
     pos = pos.at[:, 0].set(jnp.mod(pos[:, 0], size_x))
     pos = pos.at[:, 1].set(jnp.mod(pos[:, 1], size_y))
-    return pix, pos, direction
+    return pos, direction
 
 
 class _BwState(NamedTuple):
@@ -166,6 +175,8 @@ class _BwState(NamedTuple):
     k_null: object
     transition: object
     bg_idx: object      # (N,) int32 background-layer index
+    pix: object         # (N,) int32 camera pixel of the lane's current ray
+    count: object       # (N,) int32 rays already launched by this lane
 
 
 def trace_rays_bw(key, camera: Camera,
@@ -176,7 +187,9 @@ def trace_rays_bw(key, camera: Camera,
                   photons_per_pixel: int,
                   max_steps: int = 20_000,
                   sun_sub_steps: int = 400,
-                  k_ext_null_min: float = 1e-3):
+                  k_ext_null_min: float = 1e-3,
+                  rays_per_lane: Optional[int] = None,
+                  nee_mode: str = "walk"):
     """Render one spectral interval.  Returns per-pixel count and shot
     arrays (ny, nx); radiance = count * toa_src * toa_factor / ppp.
 
@@ -194,6 +207,22 @@ def trace_rays_bw(key, camera: Camera,
     nz, ny, nx = k_ext.shape
     npix = camera.npix
     n_photons = npix * photons_per_pixel
+    # Each SIMD lane traces ``rays_per_lane`` camera rays sequentially,
+    # respawning from a precomputed launch pool as soon as its ray dies
+    # (same photons-per-thread amortization as the forward tracer,
+    # Raytracer.cu:344-374) — the long-lived-ray tail no longer idles the
+    # whole vector.
+    if rays_per_lane is None:
+        # Below ~32k lanes the while_loop is iteration-latency-bound and
+        # narrowing the vector buys nothing (respawn then only ADDS
+        # iterations); above it, per-iteration cost grows ~linearly with
+        # width and the amortization wins.  Target ~32k lanes.
+        rays_per_lane = max(1, min(photons_per_pixel,
+                                   n_photons // 32768))
+    while n_photons % rays_per_lane:
+        rays_per_lane -= 1
+    rpl = rays_per_lane
+    n_lanes = n_photons // rpl
     dz, dy, dx = grid_d[0], grid_d[1], grid_d[2]
     size_z, size_y, size_x = nz * dz, ny * dy, nx * dx
     kbg = k_ext_bg.shape[0]
@@ -219,13 +248,16 @@ def trace_rays_bw(key, camera: Camera,
     bg_tau_cum = jnp.cumsum(bg_tau[::-1])[::-1]   # (kbg,)
 
     kflat = k_ext.reshape(-1)
-    ksg = k_sca_gas.reshape(-1)
-    ksc = k_sca_cld.reshape(-1)
-    ksa = k_sca_aer.reshape(-1)
-    ac = asy_cld.reshape(-1)
-    aa = asy_aer.reshape(-1)
-    alb = surface_albedo.reshape(-1)
-    lum = land_use_map.reshape(-1)
+    # One packed row per cell -> a single row gather per collision instead
+    # of six element gathers (TPU gathers cost per INDEX, not per byte).
+    ncell3 = nz * ny * nx
+    fields = jnp.stack([
+        kflat, k_sca_gas.reshape(-1), k_sca_cld.reshape(-1),
+        k_sca_aer.reshape(-1), asy_cld.reshape(-1), asy_aer.reshape(-1),
+        jnp.zeros(ncell3, dtype), jnp.zeros(ncell3, dtype)], axis=1)
+    # Packed surface row: (albedo, land-use).
+    sfc_fields = jnp.stack([surface_albedo.reshape(-1),
+                            land_use_map.reshape(-1).astype(dtype)], axis=1)
 
     def cell_index(p, d, nmax):
         return jnp.clip((p / d).astype(jnp.int32), 0, nmax - 1)
@@ -235,6 +267,102 @@ def trace_rays_bw(key, camera: Camera,
         cj = cell_index(pos[:, 1], dy, ny)
         ck = cell_index(pos[:, 2], dz, nz)
         return (ck * ny + cj) * nx + ci
+
+    # ------------------------------------------------------------------
+    # Optional deterministic sun-transmission field (nee_mode="field"):
+    # tau_lev[k, j, i] = integral of k_ext from level k at cell center
+    # (i, j) to the domain top along the sun direction, periodic
+    # horizontal BC — ONE tilted cumulative scan per spectral step.  NEE
+    # then reads exp(-tau) with a single gather instead of running the
+    # stochastic null-collision walk per event: zero variance and ~10x
+    # fewer gathers, but a cell-discretized path.  In HIGH-CONTRAST blocky
+    # media (per-cell tau ~> 1) the half-cell path misassignment is a real
+    # bias (measured: −9% scene radiance on a binary 0/1.25-tau cloud
+    # deck vs both the walk and a brute-force ray march; <1% on smooth
+    # fields).  The reference-exact unbiased walk (kernels_bw.cu:42-170)
+    # is therefore the DEFAULT; "field" is the fast preview mode.
+    s_z = jnp.maximum(sun_direction[2], jnp.asarray(1e-4, dtype))
+    drift_cx = sun_direction[0] / s_z * dz / dx    # cells of x drift/layer
+    drift_cy = sun_direction[1] / s_z * dz / dy
+    path_layer = dz / s_z                          # meters of path/layer
+
+    def shift_sample(plane, scx, scy):
+        """Bilinear sample of (ny, nx) plane at (+scy, +scx) cell offsets
+        (uniform shift, periodic)."""
+        x0f = jnp.floor(scx)
+        y0f = jnp.floor(scy)
+        tx = scx - x0f
+        ty = scy - y0f
+        xi = jnp.arange(nx, dtype=jnp.int32)
+        yi = jnp.arange(ny, dtype=jnp.int32)
+        x0 = (xi + x0f.astype(jnp.int32)) % nx
+        x1 = (x0 + 1) % nx
+        y0 = (yi + y0f.astype(jnp.int32)) % ny
+        y1 = (y0 + 1) % ny
+        p00 = plane[y0][:, x0]
+        p01 = plane[y0][:, x1]
+        p10 = plane[y1][:, x0]
+        p11 = plane[y1][:, x1]
+        return ((1 - ty) * ((1 - tx) * p00 + tx * p01)
+                + ty * ((1 - tx) * p10 + tx * p11))
+
+    # tau_lev[k](x) = sum_{j>=k} k_ext[j](x + (j-k+0.5)*drift) * path.
+    # Accumulate V_k(y) = sum_{j>=k} k_ext[j](y + (j+0.5)*drift) — each
+    # layer resampled ONCE at its absolute offset — then shift V_k back by
+    # -k*drift per level.  (A naive carry-resampling recurrence compounds
+    # the bilinear smoothing over nz layers; exp(-smeared tau) then
+    # systematically underestimates transmission in broken cloud fields.)
+    def v_body(carry, inp):
+        kx_layer, j = inp
+        v = carry + shift_sample(kx_layer, (j + 0.5) * drift_cx,
+                                 (j + 0.5) * drift_cy)
+        return v, v
+
+    _, v_desc = jax.lax.scan(
+        v_body, jnp.zeros((ny, nx), dtype),
+        (jnp.flip(k_ext, axis=0), jnp.arange(nz - 1, -1, -1, dtype=dtype)))
+    v_lev = jnp.flip(v_desc, axis=0)               # V_k, k = 0..nz-1
+    k_idx = jnp.arange(nz, dtype=dtype)
+    tau_body = jax.vmap(lambda v, k: shift_sample(
+        v, -k * drift_cx, -k * drift_cy))(v_lev, k_idx) * path_layer
+    tau_lev = jnp.concatenate(
+        [tau_body, jnp.zeros((1, ny, nx), dtype)], axis=0)
+    tau_lev_flat = tau_lev.reshape(-1)              # ((nz+1)*ny*nx,)
+    zl_bg = jnp.asarray(z_lev_bg, dtype)
+    # small-table one-hot selects (no gathers) for the background branch
+    bg_iota = jnp.arange(kbg, dtype=jnp.int32)
+
+    def _bg_sel(table, bgi):
+        onehot = (bg_iota[None, :] == bgi[:, None]).astype(dtype)
+        return onehot @ table
+
+    def sun_trans_field(pos, bg_idx, k_cell, at_sfc):
+        """exp(-tau_sun) at ``pos``: one element gather into tau_lev_flat
+        (drifted nearest column one level up + k_cell * partial path; the
+        exact undrifted level-0 row for surface events) plus analytic
+        background layers above the domain."""
+        z = pos[:, 2]
+        ck = cell_index(z, dz, nz)
+        z_up = (ck + 1).astype(dtype) * dz
+        t_up = (z_up - z) / s_z
+        xs = pos[:, 0] + sun_direction[0] / s_z * (z_up - z)
+        ys = pos[:, 1] + sun_direction[1] / s_z * (z_up - z)
+        ci = ((xs / dx).astype(jnp.int32)) % nx
+        cj = ((ys / dy).astype(jnp.int32)) % ny
+        idx_dom = ((ck + 1) * ny + cj) * nx + ci
+        idx_sfc = (cell_index(pos[:, 1], dy, ny) * nx
+                   + cell_index(pos[:, 0], dx, nx))
+        idx = jnp.where(at_sfc, idx_sfc, idx_dom)
+        tau0 = jnp.take(tau_lev_flat, idx)
+        tau_dom = jnp.where(at_sfc, tau0, tau0 + k_cell * t_up) \
+            + bg_tau_cum[0]
+        # background region: cumulative minus the part below z
+        bgi = jnp.clip(bg_idx, 0, kbg - 1)
+        tau_bg = (_bg_sel(bg_tau_cum, bgi)
+                  - _bg_sel(k_ext_bg, bgi)
+                  * jnp.maximum(z - _bg_sel(zl_bg[:-1], bgi), 0.0) / s_z)
+        in_bg = z > size_z
+        return jnp.exp(-jnp.where(in_bg, tau_bg, tau_dom))
 
     # ------------------------------------------------------------------
     def sun_transmission(pos0, bg_idx0, active, key):
@@ -247,7 +375,7 @@ def trace_rays_bw(key, camera: Camera,
         def s_body(c):
             live, pos, tau, tau_min, d_max, kmx, kmn, trans_flag, result, key, step = c
             key, ku = jax.random.split(key)
-            u = jax.random.uniform(ku, (2, n_photons), dtype)
+            u = jax.random.uniform(ku, (2, pos.shape[0]), dtype)
 
             in_bg = pos[:, 2] > size_z
             # Lanes reaching the background exit with accumulated tau + bg.
@@ -320,46 +448,71 @@ def trace_rays_bw(key, camera: Camera,
             return (new_live, new_pos, new_tau, new_tmin, new_dmax, kmx, kmn,
                     new_trans, result, key, step + 1)
 
-        zeros = jnp.zeros(n_photons, dtype)
-        init = (active, pos0, zeros, zeros, zeros, jnp.ones(n_photons, dtype),
-                zeros, jnp.zeros(n_photons, dtype=bool), zeros, key,
+        nw = pos0.shape[0]
+        zeros = jnp.zeros(nw, dtype)
+        init = (active, pos0, zeros, zeros, zeros, jnp.ones(nw, dtype),
+                zeros, jnp.zeros(nw, dtype=bool), zeros, key,
                 jnp.zeros((), jnp.int32))
         out = jax.lax.while_loop(s_cond, s_body, init)
         return out[8]
 
     # ------------------------------------------------------------------
     key, kc, kinit = jax.random.split(key, 3)
-    pix, pos, direction = _camera_rays(camera, kc, n_photons,
-                                       (size_x, size_y, size_z), z_top, dtype)
-    camera_shot = jnp.zeros(npix, dtype).at[pix].add(1.0)
+    # ALL launch states (every lane's rays_per_lane generations) are
+    # precomputed up front: ray id = lane + n_lanes*count covers every
+    # pixel exactly photons_per_pixel times; the direct-sun view at launch
+    # (reset_photon :257-268) is ONE batched shadow walk over the whole
+    # pool, and in-loop respawn is a single packed row gather.
+    lane_g = jnp.arange(n_photons, dtype=jnp.int32)
+    pix_all = lane_g % npix
+    k1, k2 = jax.random.split(kc)
+    u1 = jax.random.uniform(k1, (n_photons,), dtype)
+    u2 = jax.random.uniform(k2, (n_photons,), dtype)
+    pos_all, dir_all = _camera_rays_for(camera, pix_all, u1, u2,
+                                        (size_x, size_y, size_z), z_top,
+                                        dtype)
+    camera_shot = jnp.zeros(npix, dtype).at[pix_all].add(1.0)
     camera_count = jnp.zeros(npix, dtype)
 
-    # initial bg layer index
+    # initial bg layer index per launch
     zl = jnp.asarray(z_lev_bg, dtype)
-    bg_idx0 = jnp.clip(jnp.searchsorted(zl, pos[:, 2], side="right") - 1,
-                       0, kbg - 1).astype(jnp.int32)
+    bg_all = jnp.clip(jnp.searchsorted(zl, pos_all[:, 2], side="right") - 1,
+                      0, kbg - 1).astype(jnp.int32)
 
-    # direct sun view at launch (reset_photon :257-268)
-    sees_sun = jnp.sum(direction * sun_direction[None, :], axis=1) > COS_HALF_ANGLE
-    t_direct = sun_transmission(pos, bg_idx0, sees_sun, kinit)
-    camera_count = camera_count.at[pix].add(jnp.where(sees_sun, t_direct, 0.0))
+    sees_sun = jnp.sum(dir_all * sun_direction[None, :], axis=1) > COS_HALF_ANGLE
+    if nee_mode == "field":
+        k_launch = jnp.take(kflat, grid_ijk(pos_all))
+        t_direct = sun_trans_field(pos_all, bg_all, k_launch,
+                                   jnp.zeros(n_photons, bool))
+    else:
+        t_direct = sun_transmission(pos_all, bg_all, sees_sun, kinit)
+    camera_count = camera_count.at[pix_all].add(
+        jnp.where(sees_sun, t_direct, 0.0))
 
+    # Packed launch table: (pos3, dir3, pix, bg_idx) per ray id.
+    launch_table = jnp.concatenate(
+        [pos_all, dir_all, pix_all.astype(dtype)[:, None],
+         bg_all.astype(dtype)[:, None]], axis=1)
+
+    pix0 = pix_all[:n_lanes]
     state = _BwState(
-        pos=pos, direction=direction,
-        weight=jnp.ones(n_photons, dtype),
-        is_direct=jnp.ones(n_photons, dtype=bool),
-        alive=jnp.ones(n_photons, dtype=bool),
-        tau=jnp.zeros(n_photons, dtype),
-        d_max=jnp.zeros(n_photons, dtype),
-        k_null=jnp.ones(n_photons, dtype),
-        transition=jnp.zeros(n_photons, dtype=bool),
-        bg_idx=bg_idx0,
+        pos=pos_all[:n_lanes], direction=dir_all[:n_lanes],
+        weight=jnp.ones(n_lanes, dtype),
+        is_direct=jnp.ones(n_lanes, dtype=bool),
+        alive=jnp.ones(n_lanes, dtype=bool),
+        tau=jnp.zeros(n_lanes, dtype),
+        d_max=jnp.zeros(n_lanes, dtype),
+        k_null=jnp.ones(n_lanes, dtype),
+        transition=jnp.zeros(n_lanes, dtype=bool),
+        bg_idx=bg_all[:n_lanes],
+        pix=pix0,
+        count=jnp.zeros(n_lanes, jnp.int32),
     )
 
     def body(carry):
         state, count, key, step = carry
         key, ku, ksun = jax.random.split(key, 3)
-        u = jax.random.uniform(ku, (8, n_photons), dtype)
+        u = jax.random.uniform(ku, (8, n_lanes), dtype)
         pos, direction, alive = state.pos, state.direction, state.alive
         w = state.weight
 
@@ -433,13 +586,13 @@ def trace_rays_bw(key, camera: Camera,
         pos_cross = pos + direction * d_max[:, None]
         hit_sfc = pos_cross[:, 2] < eps
         hit_tod = pos_cross[:, 2] >= size_z
-        pix_s = pix  # camera lane -> pixel binding is static
 
-        # surface: albedo + NEE + reflected direction
+        # surface: albedo + NEE + reflected direction (one packed gather)
         sfc_ij = (cell_index(pos_cross[:, 1], dy, ny) * nx
                   + cell_index(pos_cross[:, 0], dx, nx))
-        w_sfc = w * alb[sfc_ij]
-        is_water = lum[sfc_ij] == 0
+        sfc_row = jnp.take(sfc_fields, sfc_ij, axis=0)   # (N, 2)
+        w_sfc = w * sfc_row[:, 0]
+        is_water = sfc_row[:, 1] == 0
         specular_sfc = is_water & state.is_direct
         # NEE from the surface
         spec_dir = direction - 2.0 * direction[:, 2:3] * jnp.asarray(
@@ -475,8 +628,10 @@ def trace_rays_bw(key, camera: Camera,
                         (k_n + 1).astype(dtype) * kn_d[0]], axis=1) - s_min
         pos_col = jnp.clip(pos + direction * dn[:, None], lo, hi)
         ijk = grid_ijk(pos_col)
-        k_here = kflat[ijk]
-        k_sca_tot = ksg[ijk] + ksc[ijk] + ksa[ijk]
+        cell = jnp.take(fields, ijk, axis=0)   # (N, 8) one row gather
+        k_here = cell[:, 0]
+        ksca_c, ksca_a = cell[:, 2], cell[:, 3]
+        k_sca_tot = cell[:, 1] + ksca_c + ksca_a
         ssa_tot = k_sca_tot / jnp.maximum(k_here, eps)
         f_no_abs = 1.0 - (1.0 - ssa_tot) * (k_here / k_null)
         w_col = w * f_no_abs
@@ -486,10 +641,10 @@ def trace_rays_bw(key, camera: Camera,
         is_null = u[4] >= p_scat
 
         sr3 = u[5] * jnp.maximum(k_sca_tot, eps)
-        t_aer = sr3 < ksa[ijk]
-        t_cld = (~t_aer) & (sr3 < ksa[ijk] + ksc[ijk])
-        g_cld = jnp.minimum(1.0 - eps, ac[ijk])
-        g_aer = jnp.minimum(1.0 - eps, aa[ijk])
+        t_aer = sr3 < ksca_a
+        t_cld = (~t_aer) & (sr3 < ksca_a + ksca_c)
+        g_cld = jnp.minimum(1.0 - eps, cell[:, 4])
+        g_aer = jnp.minimum(1.0 - eps, cell[:, 5])
         g_eff = jnp.where(t_aer, g_aer, jnp.where(t_cld, g_cld, 0.0))
         cos_ray3 = _rayleigh_sample(u[6])
         g_safe = jnp.where(jnp.abs(g_eff) < 1e-4, 1e-4, g_eff)
@@ -524,8 +679,11 @@ def trace_rays_bw(key, camera: Camera,
         w_evt = jnp.where(m_sfc, w_sfc, jnp.where(m_bgh, w_bg, w_col))
         nee_pos = jnp.where(m_sfc[:, None], pos_cross.at[:, 2].set(eps),
                             jnp.where(m_bgh[:, None], pos_bgh, pos_col))
-        t_sun = sun_transmission(nee_pos, state.bg_idx, need_nee, ksun)
-        count = count.at[pix].add(
+        if nee_mode == "field":
+            t_sun = sun_trans_field(nee_pos, state.bg_idx, k_here, m_sfc)
+        else:
+            t_sun = sun_transmission(nee_pos, state.bg_idx, need_nee, ksun)
+        count = count.at[state.pix].add(
             jnp.where(need_nee, w_evt * p_evt * t_sun, 0.0))
 
         # ============ merge new state ============
@@ -564,11 +722,31 @@ def trace_rays_bw(key, camera: Camera,
         new_bgi = jnp.where(m_bgc, bgi_next,
                             jnp.where(m_tod, 0, state.bg_idx)).astype(jnp.int32)
 
+        # ---- respawn: a lane whose ray died launches its next camera ray
+        # from the precomputed pool (its launch-time direct-sun view was
+        # already scored in the batched pre-pass) ----
+        respawn = alive & ~new_alive & (state.count < rpl - 1)
+        new_count = jnp.where(respawn, state.count + 1, state.count)
+        lane = jnp.arange(n_lanes, dtype=jnp.int32)
+        launch = jnp.take(launch_table,
+                          lane + jnp.asarray(n_lanes, jnp.int32) * new_count,
+                          axis=0)                       # (N, 8) row gather
+        new_pos = jnp.where(respawn[:, None], launch[:, 0:3], new_pos)
+        new_dir = jnp.where(respawn[:, None], launch[:, 3:6], new_dir)
+        new_pix = jnp.where(respawn, launch[:, 6].astype(jnp.int32),
+                            state.pix)
+        new_bgi = jnp.where(respawn, launch[:, 7].astype(jnp.int32), new_bgi)
+        new_w = jnp.where(respawn, 1.0, new_w)
+        new_direct = new_direct | respawn
+        new_alive = new_alive | respawn
+        new_dmax = jnp.where(respawn, 0.0, new_dmax)
+        new_trans = new_trans & ~respawn
+
         new_state = _BwState(
             pos=new_pos, direction=new_dir, weight=new_w,
             is_direct=new_direct, alive=new_alive, tau=new_tau,
             d_max=new_dmax, k_null=k_null, transition=new_trans,
-            bg_idx=new_bgi)
+            bg_idx=new_bgi, pix=new_pix, count=new_count)
         return new_state, count, key, step + 1
 
     def cond(carry):

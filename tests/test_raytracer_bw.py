@@ -151,3 +151,36 @@ def test_bg_column_modes_agree_when_homogeneous():
     # the last ulp; with a homogeneous upper atmosphere the PHYSICS is
     # identical — compare the domain means within MC noise.
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.06)
+
+
+def test_nee_field_matches_walk():
+    """The deterministic sun-transmission field (fast preview mode) agrees
+    with the default reference-style stochastic walk within MC noise on a
+    smooth-contrast cloud scene.  (On BINARY high-contrast decks the field
+    mode's half-cell path discretization is a real, documented bias —
+    see the nee_mode note in raytracer_bw.py — hence smooth clouds here.)"""
+    rng = np.random.default_rng(11)
+    k_gas = jnp.full((NZ, NY, NX), 2e-4, jnp.float32)
+    cloud = jnp.asarray(0.4e-3 * (1.0 + np.sin(
+        np.add.outer(np.arange(NZ) * 0.7,
+                     np.add.outer(np.arange(NY) * 0.5,
+                                  np.arange(NX) * 0.9)))), jnp.float32)
+    k_ext = k_gas + cloud
+    ksg = k_gas * 0.5
+    ksc = cloud * 0.999
+    zeros = jnp.zeros((NZ, NY, NX), jnp.float32)
+    asy = jnp.full((NZ, NY, NX), 0.85, jnp.float32)
+    cam = rbw.Camera(cam_type=2, nx=NX, ny=NY)
+    outs = {}
+    for mode in ("field", "walk"):
+        count, shot = rbw.trace_rays_bw(
+            jax.random.PRNGKey(5), cam, k_ext, ksg, ksc, zeros, asy, zeros,
+            *_bg(), jnp.full((NY, NX), 0.25, jnp.float32),
+            jnp.full((NY, NX), 1.0, jnp.float32),
+            (2, 2, 2), (DZ, DY, DX), jnp.asarray(SUN, jnp.float32), MU0,
+            photons_per_pixel=128, nee_mode=mode)
+        outs[mode] = np.asarray(count) / np.maximum(np.asarray(shot), 1)
+    a, b = outs["field"], outs["walk"]
+    assert np.isfinite(a).all() and a.mean() > 0
+    # Same estimator expectation; compare domain means within MC noise.
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.08)

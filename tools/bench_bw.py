@@ -1,5 +1,8 @@
 """Backward (camera) ray-tracer benchmark — ms per rendered frame.
 
+Set BENCH_BW_NEE=field to time the deterministic sun-transmission-field
+preview mode instead of the default unbiased stochastic walk.
+
 The reference's hottest rt kernel is the backward camera render
 (``src_kernels_cuda_rt/raytracer_kernels_bw.cu:309``); its driver renders
 one camera frame by looping over the spectral steps
@@ -15,6 +18,7 @@ Usage: python tools/bench_bw.py [cam_px] [ppp]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -60,7 +64,8 @@ def main():
             land_use_map=np.zeros(ny * nx), camera=cam,
             grid_cells=(nz, ny, nx), grid_d=(400.0, 500.0, 500.0),
             kn_grid=(4, 4, 4), z_lev=z_lev, photons_per_pixel=PPP,
-            mode="broadband", key=key)
+            mode="broadband", key=key,
+            nee_mode=os.environ.get("BENCH_BW_NEE", "walk"))
 
     key = jax.random.PRNGKey(0)
     out = render(key, t_lay0)
