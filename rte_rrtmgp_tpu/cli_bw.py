@@ -42,6 +42,13 @@ def main(argv=None) -> int:
                         "images along the camera rays")
     p.add_argument("--profiling", action="store_true")
     p.add_argument("--n-sub", type=int, default=3)
+    p.add_argument("--nee-mode", choices=("walk", "field"), default="walk",
+                   help="sun-transmission estimator: unbiased stochastic "
+                        "walk (reference-exact) or the deterministic "
+                        "tilted-field fast preview")
+    p.add_argument("--steps-per-dispatch", type=int, default=4,
+                   help="spectral steps per device dispatch (long fused "
+                        "renders trip the TPU execution watchdog)")
     p.add_argument("--gpt-chunk", type=int, default=None)
     p.add_argument("--input", default="rte_rrtmgp_input.nc")
     p.add_argument("--output", default="rte_rrtmgp_output.nc")
@@ -134,7 +141,9 @@ def main(argv=None) -> int:
         kn_grid=kn_grid, z_lev=z_lev, photons_per_pixel=args.bw_raytracing,
         mode=mode, n_sub=args.n_sub, delta_cloud=args.delta_cloud,
         delta_aerosol=args.delta_aerosol,
-        gpt_chunk=args.gpt_chunk, **solve_clouds, **aerosols)
+        gpt_chunk=args.gpt_chunk, nee_mode=args.nee_mode,
+        steps_per_dispatch=args.steps_per_dispatch,
+        **solve_clouds, **aerosols)
     float(np.asarray(out["radiance"]).ravel()[0])  # host fetch = sync
     status.print_message(
         f"Duration renderer: {(time.perf_counter()-t0)*1e3:.2f} (ms)")
@@ -174,7 +183,9 @@ def main(argv=None) -> int:
                 photons_per_pixel=args.bw_raytracing,
                 mode=mode, n_sub=args.n_sub, delta_cloud=args.delta_cloud,
                 delta_aerosol=args.delta_aerosol,
-                gpt_chunk=args.gpt_chunk, **solve_clouds, **aerosols)
+                gpt_chunk=args.gpt_chunk, nee_mode=args.nee_mode,
+                steps_per_dispatch=args.steps_per_dispatch,
+                **solve_clouds, **aerosols)
             float(np.asarray(out_p["radiance"]).ravel()[0])
         status.print_message("Profiler trace in /tmp/rte_rrtmgp_bw_trace")
 

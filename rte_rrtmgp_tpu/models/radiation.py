@@ -82,12 +82,17 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
 
     # Expand (ncol, nbnd) surface emissivity to the FULL spectrum once and
     # slice per chunk: one one-hot matmul (and one operand layout copy)
-    # instead of one per chunk.
+    # instead of one per chunk.  (Hoisting the Pallas WEIGHT PLANES the
+    # same way was measured SLOWER — 68.7 vs 53.6 ms/step: slicing the
+    # (N, ngpt) planes per chunk materializes ~2.4 GB of custom-call
+    # operand copies, more than the saved builds.  gas_optics.major_resolves
+    # remains available and tested for single-chunk callers.)
     emis_gpt_full = flux_ops.expand_bands_to_gpt(emis_sfc, kd.gpt2band)
+    resolves = None
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
-        tau, pfrac = gas_ops.tau_major_and_pfrac(kdc, interp)
+        tau, pfrac = gas_ops.tau_major_and_pfrac(kdc, interp, resolves, g0)
         tau = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau)
         src = gas_ops.planck_source(kdc, interp, t_lay, t_lev, t_sfc,
                                     sfc_lay=nlay - 1, pfrac=pfrac)
@@ -189,14 +194,16 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
     optical = {k: [] for k in ("sw_tau", "ssa", "g", "toa_source")} \
         if output_optical else None
 
-    # Full-spectrum surface albedo expansions, sliced per chunk (see LW).
+    # Full-spectrum surface albedo expansions, sliced per chunk (weight-
+    # plane hoisting measured slower — see the LW note).
     alb_dir_full = flux_ops.expand_bands_to_gpt(sfc_alb_dir, kd.gpt2band)
     alb_dif_full = flux_ops.expand_bands_to_gpt(sfc_alb_dif, kd.gpt2band)
+    resolves = None
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
-        tau_abs, tau_ray = gas_ops.tau_major_and_rayleigh(kdc, interp,
-                                                          col_gas, col_dry)
+        tau_abs, tau_ray = gas_ops.tau_major_and_rayleigh(
+            kdc, interp, col_gas, col_dry, resolves, g0)
         tau_abs = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau_abs)
         tau, ssa, g = gas_ops.combine_abs_and_rayleigh(tau_abs, tau_ray)
         op = optics_ops.OpticalProps2str(tau=tau, ssa=ssa, g=g)

@@ -333,14 +333,38 @@ def _fused_inputs(kd: KDist, interp: Interp, masks, with_colmix: bool):
     return rows, jes, fms, fp, cms
 
 
-def tau_major_and_pfrac(kd: KDist, interp: Interp):
+def major_resolves(kd: KDist, interp: Interp):
+    """Full-spectrum kernel weight planes (rows, jes, fms, fp, cms) for
+    the fused Pallas entries, built ONCE per solve and sliced per
+    spectral chunk — a chunked driver otherwise rebuilds every
+    (N, chunk) plane per chunk, and those plane-build fusions are a
+    leading cost of the step (PERF.md).  Returns None when the Pallas
+    path is inactive (the XLA fallbacks do not use these)."""
+    dtype = kd.kmajor_rows.dtype
+    if not (config.use_pallas() and dtype == jnp.float32):
+        return None
+    masks = _flavor_masks(kd, dtype)
+    return _fused_inputs(kd, interp, masks, True)
+
+
+def _sliced_resolves(kd_chunk, resolves, g0):
+    """Slice full-spectrum weight planes to the chunk [g0, g0+G)."""
+    G = kd_chunk.kmajor_rows.shape[2]
+    rows, jes, fms, fp, cms = resolves
+    sl = lambda a: jax.lax.slice_in_dim(a, g0, g0 + G, axis=1)
+    return (rows, tuple(map(sl, jes)), tuple(map(sl, fms)), fp,
+            None if cms is None else tuple(map(sl, cms)))
+
+
+def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0):
     """Fused kmajor + planck-fraction interpolation.
 
     Both tables share the same 4-corner slab addressing and eta weights;
     on TPU this is ONE multi-table Pallas pass (half the per-cell loop
     and weight-building cost of two calls).  Returns (tau_major, pfrac),
     each (ncol, nlay, ngpt).  Feed ``pfrac`` to :func:`planck_source`.
-    """
+    ``resolves``/``g0``: full-spectrum weight planes from
+    :func:`major_resolves` and this chunk's g-point offset."""
     dtype = kd.kmajor_rows.dtype
     if config.use_pallas() and dtype == jnp.float32:
         import os
@@ -349,8 +373,11 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp):
 
         C, L = interp.tropo.shape
         G = kd.kmajor_rows.shape[2]
-        masks = _flavor_masks(kd, dtype)
-        rows, jes, fms, fp, cms = _fused_inputs(kd, interp, masks, True)
+        if resolves is not None:
+            rows, jes, fms, fp, cms = _sliced_resolves(kd, resolves, g0)
+        else:
+            masks = _flavor_masks(kd, dtype)
+            rows, jes, fms, fp, cms = _fused_inputs(kd, interp, masks, True)
         tau, pfrac = interp_rows_multi(
             [kd.kmajor_rows, kd.planck_rows], [rows, rows], jes, fms,
             [fp, fp], [cms, None],
@@ -361,9 +388,11 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp):
             _interp3d_rows(kd, kd.planck_rows, interp, scale_by_colmix=False))
 
 
-def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
+def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
+                           resolves=None, g0=0):
     """Fused kmajor + krayl interpolation (shared weights, one Pallas
-    pass).  Returns (tau_major, tau_rayleigh)."""
+    pass).  Returns (tau_major, tau_rayleigh).  ``resolves``/``g0``: see
+    :func:`tau_major_and_pfrac`."""
     dtype = kd.kmajor_rows.dtype
     if config.use_pallas() and dtype == jnp.float32:
         import os
@@ -373,8 +402,11 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
         C, L = interp.tropo.shape
         G = kd.kmajor_rows.shape[2]
         ntemp = kd.ntemp
-        masks = _flavor_masks(kd, dtype)
-        rows, jes, fms, fp, cms = _fused_inputs(kd, interp, masks, True)
+        if resolves is not None:
+            rows, jes, fms, fp, cms = _sliced_resolves(kd, resolves, g0)
+        else:
+            masks = _flavor_masks(kd, dtype)
+            rows, jes, fms, fp, cms = _fused_inputs(kd, interp, masks, True)
         it = np.arange(2, dtype=np.int32)[None, None, :]
         rows_ray = ((interp.itropo01 * ntemp + interp.jtemp0)[:, :, None]
                     + it).reshape(C * L, 2).astype(jnp.int32)

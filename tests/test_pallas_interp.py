@@ -259,3 +259,46 @@ def test_fused_gas_optics_entries_match_unfused():
                                   jnp.asarray(atm["t_lev"]),
                                   jnp.asarray(atm["t_sfc"]), sfc_lay=0)
     np.testing.assert_allclose(src_a.lay_src, src_b.lay_src, rtol=1e-12)
+
+
+def test_hoisted_resolves_match_per_chunk(monkeypatch):
+    """Full-spectrum weight planes (major_resolves) sliced per chunk give
+    exactly the per-chunk-built planes through both fused entries."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from rte_rrtmgp_tpu.ops import gas_optics as go
+    from rte_rrtmgp_tpu import config as cfg
+
+    for lw in (True, False):
+        kd = small_kdist(longwave=lw)
+        kd = jax.tree.map(lambda a: a.astype(np.float32)
+                          if hasattr(a, "dtype") and a.dtype.kind == "f"
+                          else a, kd)
+        atm = small_atmos(ncol=3, nlay=5, seed=2)
+        vmr, col_dry = atmos_inputs(kd, atm)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        col_gas = go.build_col_gas(f32(vmr), f32(col_dry))
+        interp = go.interpolation(kd, f32(atm["p_lay"]), f32(atm["t_lay"]),
+                                  col_gas)
+        monkeypatch.setenv("RTE_RRTMGP_PALLAS", "1")
+        assert cfg.use_pallas()
+        with pltpu.force_tpu_interpret_mode():
+            res = go.major_resolves(kd, interp)
+            assert res is not None
+            g0 = kd.ngpt // 2
+            kdc = kd.slice_gpt(g0, kd.ngpt)
+            if lw:
+                a1, b1 = go.tau_major_and_pfrac(kdc, interp)
+                a2, b2 = go.tau_major_and_pfrac(kdc, interp, res, g0)
+            else:
+                a1, b1 = go.tau_major_and_rayleigh(kdc, interp, col_gas,
+                                                   col_dry)
+                a2, b2 = go.tau_major_and_rayleigh(kdc, interp, col_gas,
+                                                   col_dry, res, g0)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-6)

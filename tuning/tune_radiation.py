@@ -83,10 +83,15 @@ def main():
         env["RTE_RRTMGP_PALLAS_BLOCK"] = str(cand["block"] or 256)
         env["RTE_RRTMGP_PALLAS_UNROLL"] = str(cand.get("unroll") or 4)
         env["TUNE_NCOL"], env["TUNE_NLAY"] = str(NCOL), str(NLAY)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             json.dumps(cand)],
-            env=env, capture_output=True, text=True, timeout=900, cwd=_REPO)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 json.dumps(cand)],
+                env=env, capture_output=True, text=True, timeout=1500,
+                cwd=_REPO)
+        except subprocess.TimeoutExpired:
+            print(f"{cand}: FAILED (timeout)", flush=True)
+            continue
         line = next((ln for ln in proc.stdout.splitlines()
                      if ln.startswith("RESULT ")), None)
         if proc.returncode != 0 or line is None:
