@@ -192,19 +192,29 @@ def _resolve_flav(x, masks, tropo):
     Exactly one mask entry is 1 per (a, g), so the one-hot contraction is an
     exact select — the TPU-friendly replacement for take_along_axis over
     flavors, phrased as an MXU matmul (a single nonzero product per output
-    stays exact in every matmul precision)."""
-    m = jnp.asarray(masks, x.dtype)
-    out0 = jnp.matmul(x, m[0], precision="highest")
-    out1 = jnp.matmul(x, m[1], precision="highest")
-    return jnp.where(tropo[:, :, None], out0, out1)
+    stays exact in every matmul precision).
+
+    The troposphere select is FOLDED INTO the contraction: x is masked by
+    tropo on the tiny (.., nflav) axis and both atmospheres' masks are
+    stacked on the contraction axis, so the per-(cell, g) result is one
+    exact product plus an exact zero — no full-width (ncol, nlay, ngpt)
+    where() plane (those selects were a leading fusion cost, PERF.md)."""
+    m = jnp.asarray(masks, x.dtype)                       # (2, F, G)
+    tf = tropo.astype(x.dtype)[:, :, None]
+    x2 = jnp.concatenate([x * tf, x * (1.0 - tf)], axis=-1)
+    m2 = jnp.concatenate([m[0], m[1]], axis=0)            # (2F, G)
+    return jnp.matmul(x2, m2, precision="highest")
 
 
 def _resolve_flav_int(x, kd: KDist, tropo):
-    """Integer variant (for jeta0): one-hot matmul in f32 (values <= neta-1
-    are exactly representable), rounded back to int32."""
+    """Integer variant (for jeta0): one-hot matmul in f32 — values
+    <= neta-1 are exactly representable, and a one-nonzero-product
+    contraction is exact, so the result is already an exact float
+    integer.  Returned as f32 (the Pallas kernels compare eta indices in
+    the table dtype; converting the (N, G) plane back to int32 would cost
+    two full-plane ops per plane for nothing)."""
     masks = _flavor_masks(kd, np.float32)
-    out = _resolve_flav(x.astype(jnp.float32), masks, tropo)
-    return jnp.round(out).astype(jnp.int32)
+    return _resolve_flav(x.astype(jnp.float32), masks, tropo)
 
 
 def _kernel_resolves(kd: KDist, interp: Interp, masks):
@@ -218,7 +228,7 @@ def _kernel_resolves(kd: KDist, interp: Interp, masks):
     N = C * L
     jes = tuple(
         _resolve_flav_int(interp.jeta0[:, :, i * F:(i + 1) * F], kd, tropo)
-        .reshape(N, G).astype(jnp.int32) for i in range(2))
+        .reshape(N, G) for i in range(2))   # exact f32 integers
     fms = tuple(
         _resolve_flav(interp.fminor[:, :, c * F:(c + 1) * F], masks, tropo)
         .reshape(N, G) for c in range(4))   # (itemp*2 + deta) order
@@ -519,10 +529,11 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
         def flav_plane(x_clF):   # (C, L, F) -> (N, CT)
             return jnp.matmul(x_clF, Mf, precision="highest").reshape(N, CT)
 
+        # One-hot matmuls of exact small ints are exact -> keep f32
+        # (the kernel compares eta indices in the table dtype).
         jes2 = tuple(
-            jnp.round(flav_plane(
-                interp.jeta0[:, :, i * F:(i + 1) * F].astype(dtype)))
-            .astype(jnp.int32) for i in range(2))
+            flav_plane(interp.jeta0[:, :, i * F:(i + 1) * F].astype(dtype))
+            for i in range(2))
         fms4 = tuple(flav_plane(interp.fminor[:, :, c * F:(c + 1) * F])
                      for c in range(4))
         scal_plane = jnp.matmul(

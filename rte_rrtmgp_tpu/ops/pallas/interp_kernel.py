@@ -72,7 +72,11 @@ def _kernel(corner_itemp, has_fp, has_cm, rows_ref, *refs):
     table_ref = refs[k]
     out_ref = refs[k + 1]
     B, G = out_ref.shape
-    e_iota = jax.lax.broadcasted_iota(jnp.int32, (ETA_STRIDE, G), 0)
+    # eta-index planes may be int32 or exact-integer float (the builders
+    # keep the one-hot-matmul output dtype to skip full-plane casts);
+    # Mosaic's iota is integer-only, so cast the loop-invariant plane once.
+    e_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (ETA_STRIDE, G), 0).astype(je_refs[0].dtype)
 
     def body(b, _):
         fp = fp_ref[b, 0] if has_fp else None
@@ -255,8 +259,9 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
     G = outs[0].shape[1]
     H = ETA_STRIDE // 2
     dtype = outs[0].dtype
-    e_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                      (H if paired else ETA_STRIDE, G), 0)
+    e_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (H if paired else ETA_STRIDE, G),
+        0).astype(je_refs[0].dtype)
 
     def cell(b):
         fp = fp_ref[b, 0] if any_fp else None
