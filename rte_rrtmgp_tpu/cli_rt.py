@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     p.add_argument("--cloud-mie", action="store_true",
                    help="sample cloud scattering from Mie phase LUTs")
     p.add_argument("--mie-file", default="mie_lut_broadband.nc")
+    p.add_argument("--gpt-per-dispatch", type=int, default=None,
+                   help="Monte-Carlo g-points per device dispatch (bounds "
+                        "single-program runtime below the TPU watchdog)")
     p.add_argument("--single-gpt", type=int, default=None, metavar="G",
                    help="trace only g-point G (1-based)")
     p.add_argument("--profiling", action="store_true",
@@ -180,6 +183,7 @@ def main(argv=None) -> int:
         twostream=args.two_stream, raytracing=True,
         delta_cloud=args.delta_cloud, delta_aerosol=args.delta_aerosol,
         gpt_chunk=args.gpt_chunk, single_gpt=args.single_gpt,
+        gpt_per_dispatch=args.gpt_per_dispatch,
         output_bnd_fluxes=args.output_bnd_fluxes,
         key=jax.random.PRNGKey(args.seed),
         **clouds, **aerosols)

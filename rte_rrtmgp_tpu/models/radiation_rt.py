@@ -71,19 +71,20 @@ class RTFluxes(NamedTuple):
     "grid_cells", "photons_per_pixel", "kn_grid", "independent_column",
     "gpt_chunk", "with_twostream", "with_raytracing", "with_clouds",
     "with_aerosols", "delta_cloud", "delta_aerosol", "with_mie",
-    "output_bnd_fluxes"))
+    "output_bnd_fluxes", "scan_width"))
 def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
                    p_lay, p_lev, t_lay, vmr, col_dry,
                    sfc_alb_dir, sfc_alb_dif, tsi_scaling, mu0, azi,
                    lwp, iwp, rel, dei, rh, aermr, grid_d,
-                   mie_cdf, mie_ang,
+                   mie_cdf, mie_ang, g_start=None, acc_in=None,
                    *, grid_cells, kn_grid, photons_per_pixel: int,
                    independent_column: bool, gpt_chunk,
                    with_twostream: bool, with_raytracing: bool,
                    with_clouds: bool, with_aerosols: bool,
                    delta_cloud: bool, delta_aerosol: bool,
                    with_mie: bool = False,
-                   output_bnd_fluxes: bool = False):
+                   output_bnd_fluxes: bool = False,
+                   scan_width=None):
     nz, ny, nx = grid_cells
     ncol, nlay = p_lay.shape
     dtype = p_lay.dtype
@@ -289,14 +290,34 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
     if output_bnd_fluxes:
         zb = jnp.zeros((kd.nbnd, ny, nx), dtype)
         acc0 = acc0 + (zb,) * 5
-    xs = (jnp.arange(kd.ngpt, dtype=jnp.int32),
-          jnp.moveaxis(gas_tau, 2, 0),
-          jnp.moveaxis(gas_ssa, 2, 0),
-          jnp.asarray(kd.solar_source))
+    if acc_in is not None:
+        acc0 = acc_in
+    if scan_width is None:
+        xs = (jnp.arange(kd.ngpt, dtype=jnp.int32),
+              jnp.moveaxis(gas_tau, 2, 0),
+              jnp.moveaxis(gas_ssa, 2, 0),
+              jnp.asarray(kd.solar_source))
+    else:
+        # Dispatch-windowed scan: W g-points starting at the DYNAMIC
+        # g_start, so every window reuses ONE compiled program.  One
+        # device dispatch per window keeps long Monte-Carlo renders under
+        # the TPU worker's execution watchdog (see radiation_bw).
+        s0 = jnp.asarray(g_start, jnp.int32)
+        dslice = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, scan_width,
+                                                        axis=2)
+        xs = (s0 + jnp.arange(scan_width, dtype=jnp.int32),
+              jnp.moveaxis(dslice(gas_tau), 2, 0),
+              jnp.moveaxis(dslice(gas_ssa), 2, 0),
+              jax.lax.dynamic_slice_in_dim(jnp.asarray(kd.solar_source),
+                                           s0, scan_width, axis=0))
     acc, _ = jax.lax.scan(body, acc0, xs)
 
     day0 = (mu0[0] > 0.0).astype(dtype)
     acc = tuple(a * day0 for a in acc)
+    if scan_width is not None:
+        # Window mode: return the raw accumulators for chaining (the
+        # day0 mask is 0/1 and idempotent over summed windows).
+        return acc
     bnd_rt = acc[7:] if output_bnd_fluxes else (None,) * 5
     return RTFluxes(*acc[:7], *ts_out, *bnd_ts_out, *bnd_rt)
 
@@ -321,11 +342,18 @@ class RadiationSolverRT:
               delta_aerosol: bool = False, gpt_chunk: Optional[int] = None,
               single_gpt: Optional[int] = None,
               output_bnd_fluxes: bool = False,
+              gpt_per_dispatch: Optional[int] = None,
               key=None, dtype=None) -> RTFluxes:
         """grid_cells = (nz, ny, nx); grid_d = (dz, dy, dx) in meters.
 
         Surface must be at layer index 0 (LES-style ordering;
         p_lay[:, 0] > p_lay[:, -1]).
+
+        ``gpt_per_dispatch``: run the Monte-Carlo g-point scan in windows
+        of this many g-points, one device dispatch each (a full-spectrum
+        scan is ONE device program; long renders trip the TPU worker's
+        execution watchdog).  All windows reuse one compiled program
+        (dynamic window start).  None = single dispatch.
         """
         dtype = dtype or np.float32
         kd = self.kdist
@@ -359,22 +387,47 @@ class RadiationSolverRT:
                    else jnp.zeros((nbnd, 1), dtype))
         mie_ang = (jnp.asarray(self.mie_ang, dtype) if with_mie
                    else jnp.zeros((nbnd, 1, 1), dtype))
-        return _solve_rt_impl(
-            kd, self.cloud_lut, self.aerosol_lut, key,
-            cast(p_lay), cast(p_lev), cast(t_lay), cast(vmr), cast(col_dry),
-            cast(sfc_alb_dir), cast(sfc_alb_dif), cast(tsi_scaling),
-            cast(mu0), cast(azi),
-            cast(lwp) if with_clouds else zeros,
-            cast(iwp) if with_clouds else zeros,
-            cast(rel) if with_clouds else zeros,
-            cast(dei) if with_clouds else zeros,
-            cast(rh) if with_aerosols else zeros,
-            cast(aermr) if with_aerosols else zeros3,
-            jnp.asarray(grid_d, dtype), mie_cdf, mie_ang,
+        args = (kd, self.cloud_lut, self.aerosol_lut, key,
+                cast(p_lay), cast(p_lev), cast(t_lay), cast(vmr),
+                cast(col_dry),
+                cast(sfc_alb_dir), cast(sfc_alb_dif), cast(tsi_scaling),
+                cast(mu0), cast(azi),
+                cast(lwp) if with_clouds else zeros,
+                cast(iwp) if with_clouds else zeros,
+                cast(rel) if with_clouds else zeros,
+                cast(dei) if with_clouds else zeros,
+                cast(rh) if with_aerosols else zeros,
+                cast(aermr) if with_aerosols else zeros3,
+                jnp.asarray(grid_d, dtype), mie_cdf, mie_ang)
+        kw = dict(
             grid_cells=tuple(grid_cells), kn_grid=tuple(kn_grid),
             photons_per_pixel=photons_per_pixel,
             independent_column=independent_column, gpt_chunk=gpt_chunk,
-            with_twostream=twostream, with_raytracing=raytracing,
             with_clouds=with_clouds, with_aerosols=with_aerosols,
             delta_cloud=delta_cloud, delta_aerosol=delta_aerosol,
             with_mie=with_mie, output_bnd_fluxes=output_bnd_fluxes)
+        if gpt_per_dispatch is None or not raytracing:
+            return _solve_rt_impl(*args, with_twostream=twostream,
+                                  with_raytracing=raytracing, **kw)
+        # Windowed MC dispatches: the two-stream pass runs once by itself;
+        # then each window of W g-points is one device dispatch chaining
+        # the ray-traced accumulators through acc_in.
+        W = min(gpt_per_dispatch, kd.ngpt)
+        while kd.ngpt % W:
+            W -= 1
+        ts = _solve_rt_impl(*args, with_twostream=twostream,
+                            with_raytracing=False, **kw) \
+            if twostream else None
+        acc = None
+        for s0 in range(0, kd.ngpt, W):
+            acc = _solve_rt_impl(*args, jnp.int32(s0), acc,
+                                 with_twostream=False, with_raytracing=True,
+                                 scan_width=W, **kw)
+        bnd_rt = acc[7:] if output_bnd_fluxes else (None,) * 5
+        ts_f = ((ts.sw_flux_up, ts.sw_flux_dn, ts.sw_flux_dn_dir)
+                if ts is not None else (None, None, None))
+        bnd_ts = ((ts.sw_bnd_flux_up, ts.sw_bnd_flux_dn,
+                   ts.sw_bnd_flux_dn_dir)
+                  if ts is not None and output_bnd_fluxes
+                  else (None, None, None))
+        return RTFluxes(*acc[:7], *ts_f, *bnd_ts, *bnd_rt)

@@ -240,3 +240,24 @@ def test_single_gpt(setup):
     solar = np.asarray(kd.solar_source)
     expected = float(solar[0]) * 0.8  # tod_dir = solar * tsi * mu0
     assert abs(toa1 - expected) / expected < 1e-3, (toa1, expected)
+
+
+def test_windowed_dispatch_matches_single(setup):
+    """gpt_per_dispatch windows (one device dispatch per W g-points, the
+    TPU-watchdog-safe mode) reproduce the single-dispatch scan exactly:
+    same per-g-point RNG keys, same accumulation order."""
+    kd, clut, atm = setup
+    one = _solve(kd, clut, atm, twostream=True, photons_per_pixel=16,
+                 output_bnd_fluxes=True)
+    win = _solve(kd, clut, atm, twostream=True, photons_per_pixel=16,
+                 output_bnd_fluxes=True, gpt_per_dispatch=5)
+    for name in ("rt_flux_tod_dn", "rt_flux_sfc_dir", "rt_flux_sfc_dif",
+                 "rt_flux_abs_dir", "sw_flux_dn", "sw_bnd_flux_up",
+                 "rt_bnd_flux_sfc_dir"):
+        a, b = getattr(one, name), getattr(win, name)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6,
+                                   atol=1e-6, err_msg=name)
+    # band sums still equal broadband in windowed mode
+    np.testing.assert_allclose(
+        np.asarray(win.rt_bnd_flux_sfc_dir).sum(0),
+        np.asarray(win.rt_flux_sfc_dir), rtol=1e-5, atol=1e-5)
