@@ -42,14 +42,25 @@ ETA_STRIDE = 16
 
 
 def kernel_opts() -> dict:
-    """Tunable kernel knobs, read from the environment at trace time (the
-    autotuner sweeps candidates in separate subprocesses so these are
-    fixed per process — tuning/tune_radiation.py)."""
+    """Tunable kernel knobs, read at trace time: environment first (the
+    autotuner sweeps candidates in separate subprocesses —
+    tuning/tune_radiation.py), then the persisted autotune winner for
+    this device kind (tuning/tuned_defaults.json via utils/tuner.py),
+    then built-in defaults."""
     import os
 
+    tuned = {}
+    try:
+        from ...utils import tuner
+
+        tuned = tuner.best_kernel_opts() or {}
+    except Exception:
+        pass
     return dict(
-        block=int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK", "256")),
-        unroll=int(os.environ.get("RTE_RRTMGP_PALLAS_UNROLL", "4")),
+        block=int(os.environ.get("RTE_RRTMGP_PALLAS_BLOCK",
+                                 tuned.get("block") or 256)),
+        unroll=int(os.environ.get("RTE_RRTMGP_PALLAS_UNROLL",
+                                  tuned.get("unroll") or 4)),
         vec=os.environ.get("RTE_RRTMGP_PALLAS_VEC", "0")
         not in ("0", "false", "off"),
     )

@@ -98,6 +98,29 @@ def _key(name: str, static_key: Any) -> str:
                       default=str)
 
 
+def best_kernel_opts() -> Optional[dict]:
+    """The persisted autotune winner's kernel knobs for this device kind
+    (any workload shape; shapes agree on the winner in practice) — lets
+    cold environments start at the tuned point (the analog of the
+    reference loading ``rte_rrtmgp_kernel_tuning.txt``)."""
+    _load_disk()
+    kind = _device_kind()
+    best = None
+    with _lock:
+        for key, entry in _memory_cache.items():
+            try:
+                name, _, dev = json.loads(key)
+            except (ValueError, TypeError):
+                continue
+            if name != "radiation_step" or dev != kind:
+                continue
+            if not isinstance(entry, dict) or "config" not in entry:
+                continue
+            if best is None or entry.get("ms", 1e30) < best.get("ms", 1e30):
+                best = entry
+    return None if best is None else dict(best["config"])
+
+
 def measure(fn: Callable, args: Sequence, iters: int = 8,
             warmup: int = 2,
             perturb: Optional[Callable[[Sequence, int], Sequence]] = None
