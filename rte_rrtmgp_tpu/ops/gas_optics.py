@@ -388,11 +388,27 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0):
         else:
             masks = _flavor_masks(kd, dtype)
             rows, jes, fms, fp, cms = _fused_inputs(kd, interp, masks, True)
-        tau, pfrac = interp_rows_multi(
-            [kd.kmajor_rows, kd.planck_rows], [rows, rows], jes, fms,
-            [fp, fp], [cms, None],
-            metas=(((0, 0, 1, 1), True, True), ((0, 0, 1, 1), True, False)),
-            neta=kd.neta, **kernel_opts())
+        if os.environ.get("RTE_RRTMGP_PALLAS_DUP2", "0") not in (
+                "0", "false", "off"):
+            # kmajor and planck_frac share rows, eta weights AND the
+            # pressure fraction: lane-concatenate the tables and run ONE
+            # dup2 op — per-cell dynamic-slice count halves.  Measured a
+            # WASH end-to-end on the v5e (46.0 vs 45.4 ms/step: the
+            # (N, 2G) output-split copies offset the slice savings) — off
+            # by default, kept tested for wider-table regimes.
+            tbl2 = jnp.concatenate([kd.kmajor_rows, kd.planck_rows], axis=2)
+            (out,) = interp_rows_multi(
+                [tbl2], [rows], jes, fms, [fp], [cms],
+                metas=(((0, 0, 1, 1), True, True, True),),
+                neta=kd.neta, **kernel_opts())
+            tau, pfrac = out[:, :G], out[:, G:]
+        else:
+            tau, pfrac = interp_rows_multi(
+                [kd.kmajor_rows, kd.planck_rows], [rows, rows], jes, fms,
+                [fp, fp], [cms, None],
+                metas=(((0, 0, 1, 1), True, True),
+                       ((0, 0, 1, 1), True, False)),
+                neta=kd.neta, **kernel_opts())
         return tau.reshape(C, L, G), pfrac.reshape(C, L, G)
     return (_interp3d_rows(kd, kd.kmajor_rows, interp, scale_by_colmix=True),
             _interp3d_rows(kd, kd.planck_rows, interp, scale_by_colmix=False))

@@ -247,7 +247,16 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
     pairs, so the eta contraction is ONE (8, G) compare + two-term
     combine — fm0*T[je] + fm1*T[je+1] == sum_e [e==je](fm0*Tlo + fm1*Thi)
     — instead of two 16-row one-hot select-sums: every vector op runs at
-    (8, G) = one vreg and the op count per cell nearly halves."""
+    (8, G) = one vreg and the op count per cell nearly halves.
+
+    A meta entry may carry a 4th element ``dup2=True``: the op's table is
+    TWO tables lane-concatenated to (R, E, 2G) (e.g. LW kmajor|planck,
+    which share rows, eta weights AND the pressure fraction), its output
+    is (N, 2G), and the shared (16, G) weight matrix is duplicated along
+    lanes in-kernel (with the col_mix factor folded into the FIRST half
+    only).  Per-cell dynamic-slice count for the pair halves — the
+    dominant per-cell cost on this hardware (see the paired-layout
+    measurement)."""
     any_fp = any(m[1] for m in metas)
     k = 0
     fp_ref = None
@@ -267,7 +276,7 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
     tables = refs[k:k + len(metas)]
     outs = refs[k + len(metas):]
     B = outs[0].shape[0]
-    G = outs[0].shape[1]
+    G = fm_refs[0].shape[1]          # weight-plane width (out may be 2G)
     H = ETA_STRIDE // 2
     dtype = outs[0].dtype
     e_iota = jax.lax.broadcasted_iota(
@@ -304,8 +313,28 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
                            keepdims=True)
 
         col = 0
-        for iop, (corner_itemp, has_fp, has_cm) in enumerate(metas):
+        for iop, m in enumerate(metas):
+            corner_itemp, has_fp, has_cm = m[:3]
+            dup2 = len(m) > 3 and m[3]
             nc = len(corner_itemp)
+            if dup2:
+                # Lane-merged table pair ((16, 2G) slabs, halved slice
+                # count); shared weights duplicated along lanes, col_mix
+                # folded into the FIRST half only.
+                acc = jnp.zeros((1, 2 * G), dtype)
+                for i in (0, 1):
+                    r0 = rows_ref[b, col + 2 * i] * ETA_STRIDE
+                    r1 = rows_ref[b, col + 2 * i + 1] * ETA_STRIDE
+                    slab = ((1.0 - fp) * tables[iop][pl.ds(r0, ETA_STRIDE), :]
+                            + fp * tables[iop][pl.ds(r1, ETA_STRIDE), :])
+                    w = weights(i)
+                    w0 = (w * cm_refs[iop][i][b, :][None, :]
+                          if has_cm else w)
+                    w2 = jnp.concatenate([w0, w], axis=1)
+                    acc = acc + jnp.sum(w2 * slab, axis=0, keepdims=True)
+                outs[iop][b, :] = acc[0]
+                col += nc
+                continue
             acc = jnp.zeros((1, G), dtype)
             if has_fp:
                 # (i0p0, i0p1, i1p0, i1p1): merge the pressure pair first.
@@ -357,6 +386,12 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
     any_fp = any(m[1] for m in metas)
     fp = next((f for f in fps if f is not None), None)
 
+    any_dup2 = any(len(m) > 3 and m[3] for m in metas)
+    if any_dup2:
+        assert all((len(m) <= 3 or not m[3]) or m[1] for m in metas), \
+            "dup2 ops require the pressure-fraction (4-corner) form"
+        vec = False
+        paired = False
     vec = vec and block % 8 == 0
     H = ETA_STRIDE // 2
     # Paired half-slab layout (see _kernel_multi): rows hold
@@ -369,14 +404,14 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
 
     tbls = []
     for t in tables:
-        assert t.shape[1] == neta and t.shape[2] == G, (t.shape, neta, G)
+        assert t.shape[1] == neta and t.shape[2] % G == 0, (t.shape, neta, G)
         if paired:
             t9 = (t if neta == H + 1 else
                   jnp.pad(t, ((0, 0), (0, H + 1 - neta), (0, 0))))
             tp = jnp.concatenate([t9[:, :H], t9[:, 1:H + 1]], axis=1)
         else:
             tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
-        tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, G))
+        tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, t.shape[2]))
 
     rows = jnp.concatenate(rows_list, axis=1)
     pad = (-N) % block
@@ -412,16 +447,18 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
             specs.extend([plane] * 2)
     for t in tbls:
         operands.append(t)
-        specs.append(pl.BlockSpec((t.shape[0], G), lambda ib: (0, 0),
+        specs.append(pl.BlockSpec(t.shape, lambda ib: (0, 0),
                                   memory_space=pltpu.VMEM))
 
+    out_w = [t.shape[1] for t in tbls]
     outs = pl.pallas_call(
         functools.partial(_kernel_multi_vec, metas) if vec
         else functools.partial(_kernel_multi, metas, unroll, paired),
         grid=(n_pad // block,),
         in_specs=specs,
-        out_specs=[plane] * len(metas),
-        out_shape=[jax.ShapeDtypeStruct((n_pad, G), dtype)] * len(metas),
+        out_specs=[pl.BlockSpec((block, w), lambda ib: (ib, 0),
+                                memory_space=pltpu.VMEM) for w in out_w],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, w), dtype) for w in out_w],
         scratch_shapes=([pltpu.VMEM((8 * ETA_STRIDE, G), dtype)] * 2
                         if vec else []),
     )(*operands)

@@ -302,3 +302,37 @@ def test_hoisted_resolves_match_per_chunk(monkeypatch):
                                                    col_dry, res, g0)
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-6)
+
+
+def test_dup2_lane_merged_pair_matches_singles():
+    """A dup2 op (lane-concatenated table pair sharing rows/weights/fp,
+    col_mix folded into the first half) returns exactly the two
+    single-table results."""
+    from rte_rrtmgp_tpu.ops.pallas import interp_rows_multi, interp_rows_pallas
+
+    rng = np.random.default_rng(7)
+    N, G, R, E, T = 70, 128, 36, 9, 4
+    f32 = lambda *s: rng.random(s, dtype=np.float32)
+    tbl1 = jnp.asarray(f32(R, E, G))
+    tbl2 = jnp.asarray(f32(R, E, G))
+    rows4 = jnp.asarray(rng.integers(0, R - T - 2, (N, 1)).repeat(4, 1)
+                        + np.array([0, T, 1, T + 1]), dtype=jnp.int32)
+    jes = tuple(jnp.asarray(rng.integers(0, E - 1, (N, G)), jnp.int32)
+                for _ in range(2))
+    fms = tuple(jnp.asarray(f32(N, G)) for _ in range(4))
+    fp = jnp.asarray(f32(N))
+    cms = tuple(jnp.asarray(f32(N, G)) for _ in range(2))
+
+    with pltpu.force_tpu_interpret_mode():
+        (merged,) = interp_rows_multi(
+            [jnp.concatenate([tbl1, tbl2], axis=2)], [rows4], jes, fms,
+            [fp], [cms], metas=(((0, 0, 1, 1), True, True, True),),
+            neta=E, block=32)
+        s1 = interp_rows_pallas(tbl1, rows4, jes, fms, fp=fp, cms=cms,
+                                neta=E, block=32)
+        s2 = interp_rows_pallas(tbl2, rows4, jes, fms, fp=fp, neta=E,
+                                block=32)
+    np.testing.assert_allclose(np.asarray(merged[:, :G]), np.asarray(s1),
+                               rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(merged[:, G:]), np.asarray(s2),
+                               rtol=2e-6, atol=1e-6)
