@@ -94,6 +94,12 @@ def _read_vmr(nc: NcReader, gas: str, gas_concs: GasConcs, nlay, ncol):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     dtype = np.float32 if args.precision == "float32" else np.float64
+    if dtype is np.float64:
+        # Without x64 mode jnp silently downcasts float64 arrays to f32
+        # and a "float64" run would just reproduce the f32 results.
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     status.print_message("Reading atmospheric input data from NetCDF.")
     inp = NcReader(args.input)

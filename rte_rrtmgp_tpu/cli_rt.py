@@ -203,6 +203,7 @@ def main(argv=None) -> int:
                 twostream=args.two_stream, raytracing=True,
                 delta_cloud=args.delta_cloud, delta_aerosol=args.delta_aerosol,
                 gpt_chunk=args.gpt_chunk, single_gpt=args.single_gpt,
+                gpt_per_dispatch=args.gpt_per_dispatch,
                 key=jax.random.PRNGKey(args.seed), **clouds, **aerosols)
             float(np.asarray(out_p.rt_flux_tod_up).ravel()[0])
         status.print_message("Profiler trace in /tmp/rte_rrtmgp_rt_trace")

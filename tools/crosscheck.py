@@ -6,13 +6,16 @@ Runs the allsky case three ways and compares fluxes:
   2. CPU float32 (XLA row-gather path)
   3. current default backend float32 (Pallas path on TPU)
 
-Measured on the v5e (2026-08-16, allsky 24 cols x 72 lay, 128+112 gpt):
+Measured on the v5e (2026-08-17, allsky 24 cols x 72 lay, 128+112 gpt,
+after the round-2 kernel redesign AND the cli x64 fix — the cli used to
+pass float64 dtypes without enabling jax x64 mode, so earlier "f64" legs
+silently recomputed f32):
   * TPU f32 Pallas vs CPU f32 XLA: **bit-identical** (max abs diff 0.0 on
-    every flux) — one-hot MXU matmuls and the interp kernels introduce no
-    platform divergence.
-  * f32 vs f64 (intrinsic single-precision error): LW <= 1.2e-2 W m-2;
-    SW <= 3.5e-1 W m-2 (0.035% of ~980 W m-2) — the quantified USESP-mode
-    error the reference never measured.
+    every flux) — one-hot MXU matmuls and the interp/solver kernels
+    introduce no platform divergence.
+  * f32 vs true f64 (intrinsic single-precision error): LW <= 0.54 W m-2;
+    SW <= 1.31 W m-2 (<= 0.65% of the local flux) — the quantified
+    USESP-mode error the reference never measured.
 
 Usage: python tools/crosscheck.py [workdir]
 """
@@ -60,8 +63,9 @@ def run(workdir):
     print("\n--- device f32 vs CPU f32 (platform/kernel divergence) ---")
     ok_dev = compare(p("dev_f32.nc"), p("cpu_f32.nc"),
                      failure_threshold=1e-4)
-    print("\n--- CPU f32 vs CPU f64 (intrinsic single-precision error) ---")
-    compare(p("cpu_f32.nc"), p("cpu_f64.nc"), failure_threshold=5.8e-1)
+    print("\n--- CPU f32 vs CPU f64 (intrinsic single-precision error, "
+          "informational) ---")
+    compare(p("cpu_f32.nc"), p("cpu_f64.nc"), failure_threshold=2.0)
     print("\nPLATFORM CHECK:", "PASSED" if ok_dev else "FAILED")
     return 0 if ok_dev else 1
 
