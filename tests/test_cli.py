@@ -130,3 +130,55 @@ def test_cli_rt_tica(tmp_path_factory, monkeypatch):
         assert sw_dn.shape == (21, 4, 4) and np.isfinite(sw_dn).all()
         bnd = nc.read("rt_bnd_flux_sfc_dir")
         np.testing.assert_allclose(bnd.sum(0), sfc, rtol=2e-5, atol=1e-4)
+
+
+def test_cli_rt_gpt_per_dispatch(tmp_path_factory, monkeypatch):
+    """--gpt-per-dispatch (watchdog-safe windowed MC) matches the
+    single-dispatch run exactly through the CLI."""
+    from rte_rrtmgp_tpu.cli_rt import main as rt_main
+
+    d = tmp_path_factory.mktemp("rt_win")
+    make_case_files(str(d), "allsky", gpt_per_band=2)
+    monkeypatch.chdir(d)
+
+    import rte_rrtmgp_tpu.cases.inputs as ci
+    from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+
+    atm = make_atmosphere(4 * 4, 16, seed=21)
+    ci.write_input_nc("rte_rrtmgp_input.nc", atm, n_col_x=4, n_col_y=4,
+                      rt_grid={"nz": 8, "sza": 0.4})
+
+    assert rt_main(["--raytracing", "8", "--output", "one.nc"]) == 0
+    assert rt_main(["--raytracing", "8", "--gpt-per-dispatch", "5",
+                    "--output", "win.nc"]) == 0
+    with NcReader("one.nc") as a, NcReader("win.nc") as b:
+        for v in ("rt_flux_sfc_dir", "rt_flux_abs_dir"):
+            np.testing.assert_allclose(a.read(v), b.read(v), rtol=2e-6,
+                                       atol=1e-6, err_msg=v)
+
+
+def test_cli_bw_nee_and_dispatch_flags(tmp_path_factory, monkeypatch):
+    """cli_bw --nee-mode field --steps-per-dispatch 2 renders finite
+    radiance (the fast-preview estimator + watchdog-safe chunking)."""
+    from rte_rrtmgp_tpu.cli_bw import main as bw_main
+    from rte_rrtmgp_tpu.tools.set_virtual_camera import main as cam_main
+
+    d = tmp_path_factory.mktemp("bw_flags")
+    make_case_files(str(d), "allsky", gpt_per_band=1)
+    monkeypatch.chdir(d)
+
+    import rte_rrtmgp_tpu.cases.inputs as ci
+    from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+
+    atm = make_atmosphere(4 * 4, 12, seed=22)
+    ci.write_input_nc("rte_rrtmgp_input.nc", atm, n_col_x=4, n_col_y=4,
+                      rt_grid={"nz": 6, "sza": 0.5})
+    cam_main(["--name", "rte_rrtmgp_input.nc", "--toa", "--nx", "4",
+              "--ny", "4"])
+
+    rc = bw_main(["--broadband", "--bw-raytracing", "8",
+                  "--nee-mode", "field", "--steps-per-dispatch", "2"])
+    assert rc == 0
+    with NcReader("rte_rrtmgp_output.nc") as nc:
+        rad = nc.read("radiance")
+        assert rad.shape == (4, 4) and np.isfinite(rad).all()
