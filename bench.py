@@ -47,6 +47,9 @@ R1_BASELINE_OLD_METHOD_COLGPT_PER_S = 8.19e6  # block_until_ready (invalid)
 def main():
     import jax
 
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.enable_compilation_cache()
+
     import __graft_entry__ as ge
 
     kd_lw, kd_sw, clut_lw, clut_sw = ge._build(gpt_per_band=16)

@@ -21,6 +21,7 @@ import time
 
 import numpy as np
 
+from . import config
 from .models import (AerosolLUT, CloudLUT, GasConcs, KDist,
                      RadiationSolverLW, RadiationSolverSW)
 from .utils import status
@@ -92,6 +93,7 @@ def _read_vmr(nc: NcReader, gas: str, gas_concs: GasConcs, nlay, ncol):
 
 
 def main(argv=None) -> int:
+    config.enable_compilation_cache()
     args = build_parser().parse_args(argv)
     dtype = np.float32 if args.precision == "float32" else np.float64
     if dtype is np.float64:

@@ -15,6 +15,7 @@ import argparse
 
 import numpy as np
 
+from . import config
 from .cli import GAS_NAMES_ALL, _read_field, _read_vmr
 from .models import CloudLUT, AerosolLUT, GasConcs, KDist
 from .models.radiation_bw import RadiationSolverBW
@@ -24,6 +25,7 @@ from .utils.ncio import NcReader, NcWriter
 
 
 def main(argv=None) -> int:
+    config.enable_compilation_cache()
     p = argparse.ArgumentParser(prog="rte_rrtmgp_bw")
     p.add_argument("--image", action="store_true", default=True)
     p.add_argument("--broadband", dest="image", action="store_false")

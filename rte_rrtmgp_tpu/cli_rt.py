@@ -17,6 +17,7 @@ import time
 
 import numpy as np
 
+from . import config
 from .cli import GAS_NAMES_ALL, _read_field, _read_vmr
 from .models import AerosolLUT, CloudLUT, GasConcs, KDist
 from .models.radiation_rt import RadiationSolverRT
@@ -25,6 +26,7 @@ from .utils.ncio import NcReader, NcWriter
 
 
 def main(argv=None) -> int:
+    config.enable_compilation_cache()
     p = argparse.ArgumentParser(prog="rte_rrtmgp_rt")
     p.add_argument("--raytracing", type=int, default=32,
                    help="photons per pixel")

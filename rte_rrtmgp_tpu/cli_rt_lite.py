@@ -16,12 +16,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import config
 from .models import raytracer as rt
 from .utils import status
 from .utils.ncio import NcReader, NcWriter
 
 
 def main(argv=None) -> int:
+    config.enable_compilation_cache()
     p = argparse.ArgumentParser(prog="rt_lite")
     p.add_argument("--raytracing", type=int, default=32,
                    help="forward photons per pixel (0 disables)")

@@ -58,6 +58,25 @@ SOLAR_B_OFFSET = 0.00066696
 DELTA_TSURF = 1.0
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at ``path`` (default
+    ``/tmp/jaxcache``, override via ``JAX_COMPILATION_CACHE_DIR``).
+
+    On the tunneled TPU runtime a cold full-step compile takes 5-7 min;
+    the cache (keyed client-side on HLO) brings same-program re-runs to
+    ~1 s.  Called by the CLIs, bench, and tuning entry points; safe to
+    call repeatedly and harmless on CPU (JAX only persists compilations
+    above its min-compile-time threshold)."""
+    import jax
+
+    cache_dir = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or "/tmp/jaxcache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass  # older jaxlib without the option
+
+
 def use_pallas() -> bool:
     """Whether to dispatch hot gas-optics interpolation to the Pallas TPU
     kernels (ops/pallas/).  Default: on for single-chip TPU execution;

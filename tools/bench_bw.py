@@ -32,6 +32,8 @@ ITERS = 2
 
 
 def main():
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -67,6 +67,8 @@ def run_candidate(cand):
 
 
 def main():
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.enable_compilation_cache()
     from rte_rrtmgp_tpu.utils import tuner
 
     candidates = [{"gpt_chunk": 128, "pallas": 0, "block": 0, "unroll": 0},
