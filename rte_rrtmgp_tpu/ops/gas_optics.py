@@ -665,14 +665,26 @@ def combine_abs_and_rayleigh(tau_abs, tau_ray):
 def _interp1d_planck(temp, kd: KDist):
     """interpolate1D over totplnk (gas_optics_rrtmgp_kernels.cu:1-13),
     returning band Planck radiance expanded to g-points: temp.shape + (ngpt,).
-    The totplnk lookup is a row gather (rows = temperature bin, width nbnd)."""
+
+    The per-cell temperature-bin lookup is two exact one-hot MXU matmuls
+    over the (nT, nbnd) table (narrow-row gathers at (ncol, nlay) index
+    width cost ~0.45 ms each on TPU; a single nonzero unit product per
+    output keeps the matmul lookup exact, and lo/hi stay separate so
+    ``lo + frac*(hi - lo)`` matches the oracle bit-for-bit)."""
     nT = kd.totplnk.shape[0]
+    dtype = temp.dtype
     val0 = (temp - kd.temp_ref_min) / kd.totplnk_delta
     ival = val0.astype(jnp.int32)
-    frac = val0 - ival.astype(temp.dtype)
+    frac = val0 - ival.astype(dtype)
     idx = jnp.clip(ival + 1, 1, nT - 1)
-    lo = jnp.take(kd.totplnk, idx - 1, axis=0)
-    hi = jnp.take(kd.totplnk, idx, axis=0)
+
+    shape = temp.shape
+    idx_f = idx.reshape(-1, 1)
+    t_iota = jnp.arange(nT, dtype=jnp.int32)[None, :]
+    mm = lambda sel: jnp.matmul(sel.astype(dtype), kd.totplnk,
+                                precision="highest").reshape(shape + (-1,))
+    lo = mm(t_iota == idx_f - 1)
+    hi = mm(t_iota == idx_f)
     b = lo + frac[..., None] * (hi - lo)   # (..., nbnd)
     return expand_bands_to_gpt(b, kd.gpt2band)
 
