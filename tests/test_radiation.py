@@ -179,3 +179,55 @@ def test_lw_warm_surface_net_cooling():
     olr = np.asarray(out["lw_flux_up"])[:, top]
     assert np.all(olr > 50.0) and np.all(olr < 600.0)
     assert np.asarray(out["lw_flux_dn"])[:, top].max() == 0.0
+
+
+def test_lw_column_permutation_equivariance():
+    """Columns are physically independent: permuting the column axis of every
+    input must permute the outputs identically.  Catches cross-column leaks
+    in blocked/one-hot formulations (flavor resolves, LUT selection matmuls,
+    solver sweeps)."""
+    import copy
+
+    kd, clut, _ = _luts(True)
+    atm = _atm()
+    emis = np.full((NCOL, kd.nbnd), 0.97)
+    solver = RadiationSolverLW(kd, clut)
+    kwargs = dict(p_lay=atm["p_lay"], p_lev=atm["p_lev"], t_lay=atm["t_lay"],
+                  t_lev=atm["t_lev"], t_sfc=atm["t_sfc"], emis_sfc=emis,
+                  lwp=atm["lwp"], iwp=atm["iwp"], rel=atm["rel"],
+                  dei=atm["dei"])
+    out1 = solver.solve(gas_concs=atm["gas_concs"], **kwargs)
+
+    perm = np.random.default_rng(7).permutation(NCOL)
+    gc_p = copy.deepcopy(atm["gas_concs"])
+    for name in gc_p.names():
+        v = gc_p.get_vmr(name)
+        if getattr(v, "ndim", 0) == 2 and v.shape[0] == NCOL:
+            gc_p.set_vmr(name, np.ascontiguousarray(v[perm]))
+    kwargs_p = {k: np.ascontiguousarray(v[perm]) for k, v in kwargs.items()}
+    out2 = RadiationSolverLW(kd, clut).solve(gas_concs=gc_p, **kwargs_p)
+    for k in out1:
+        np.testing.assert_array_equal(np.asarray(out2[k]),
+                                      np.asarray(out1[k])[perm], err_msg=k)
+
+
+def test_lw_greenhouse_monotonicity():
+    """More absorber means more atmospheric emission toward the surface:
+    quadrupling CO2 must strictly increase LW surface downwelling in every
+    column (the greenhouse invariant, independent of any oracle)."""
+    import copy
+
+    kd, _, _ = _luts(True)
+    atm = _atm()
+    emis = np.full((NCOL, kd.nbnd), 1.0)
+    kwargs = dict(p_lay=atm["p_lay"], p_lev=atm["p_lev"], t_lay=atm["t_lay"],
+                  t_lev=atm["t_lev"], t_sfc=atm["t_sfc"], emis_sfc=emis)
+    out1 = RadiationSolverLW(kd).solve(gas_concs=atm["gas_concs"], **kwargs)
+    gc4 = copy.deepcopy(atm["gas_concs"])
+    gc4.set_vmr("co2", np.asarray(gc4.get_vmr("co2")) * 4.0)
+    out2 = RadiationSolverLW(kd).solve(gas_concs=gc4, **kwargs)
+
+    sfc = 0 if atm["p_lay"][0, 0] > atm["p_lay"][0, -1] else -1
+    dn1 = np.asarray(out1["lw_flux_dn"])[:, sfc]
+    dn2 = np.asarray(out2["lw_flux_dn"])[:, sfc]
+    assert np.all(dn2 > dn1), (dn1, dn2)
