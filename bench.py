@@ -48,17 +48,24 @@ def main():
     import jax
 
     from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     _cfg.enable_compilation_cache()
 
     import __graft_entry__ as ge
 
     kd_lw, kd_sw, clut_lw, clut_sw = ge._build(gpt_per_band=16)
     arrs = ge._atmos_arrays(ncol=NCOL, nlay=NLAY)
-    step = ge.make_step(kd_lw, kd_sw, clut_lw, clut_sw, gpt_chunk=GPT_CHUNK)
+    tables_as_args = os.environ.get("BENCH_TABLES_ARGS", "0") != "0"
+    step = ge.make_step(kd_lw, kd_sw, clut_lw, clut_sw, gpt_chunk=GPT_CHUNK,
+                        tables_as_args=tables_as_args)
     names = ("p_lay", "p_lev", "t_lay", "t_lev", "t_sfc", "vmr", "col_dry",
              "emis_sfc", "sfc_alb_dir", "sfc_alb_dif", "tsi_scaling", "mu0",
              "lwp", "iwp", "rel", "dei")
     args = [jax.device_put(arrs[k]) for k in names]
+    t_lay_i = names.index("t_lay")
+    if tables_as_args:
+        args = list(jax.device_put((kd_lw, kd_sw, clut_lw, clut_sw))) + args
+        t_lay_i += 4
 
     fn = jax.jit(step)
     out = fn(*args)
@@ -69,14 +76,14 @@ def main():
     # fetching a scalar at the end (see module docstring).  Three batches,
     # best taken: the tunneled runtime occasionally injects multi-second
     # stalls unrelated to device time.
-    t_lay0 = args[2]
+    t_lay0 = args[t_lay_i]
     batch_dts = []
     for rep in range(3):
         t0 = time.perf_counter()
         for it in range(ITERS):
             out = fn(*args)
-            args[2] = (t_lay0 + (rep * ITERS + it + 1) * 1e-5
-                       + 0.0 * out["lw_flux_up"][:, :NLAY])
+            args[t_lay_i] = (t_lay0 + (rep * ITERS + it + 1) * 1e-5
+                             + 0.0 * out["lw_flux_up"][:, :NLAY])
         final = float(out["lw_flux_up"].sum() + out["sw_flux_dn"].sum())
         assert np.isfinite(final), final
         batch_dts.append(time.perf_counter() - t0)

@@ -93,6 +93,7 @@ def _read_vmr(nc: NcReader, gas: str, gas_concs: GasConcs, nlay, ncol):
 
 
 def main(argv=None) -> int:
+    config.respect_platform_env()
     config.enable_compilation_cache()
     args = build_parser().parse_args(argv)
     dtype = np.float32 if args.precision == "float32" else np.float64

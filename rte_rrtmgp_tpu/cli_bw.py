@@ -25,6 +25,7 @@ from .utils.ncio import NcReader, NcWriter
 
 
 def main(argv=None) -> int:
+    config.respect_platform_env()
     config.enable_compilation_cache()
     p = argparse.ArgumentParser(prog="rte_rrtmgp_bw")
     p.add_argument("--image", action="store_true", default=True)

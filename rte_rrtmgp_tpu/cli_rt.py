@@ -26,6 +26,7 @@ from .utils.ncio import NcReader, NcWriter
 
 
 def main(argv=None) -> int:
+    config.respect_platform_env()
     config.enable_compilation_cache()
     p = argparse.ArgumentParser(prog="rte_rrtmgp_rt")
     p.add_argument("--raytracing", type=int, default=32,

@@ -23,6 +23,7 @@ from .utils.ncio import NcReader, NcWriter
 
 
 def main(argv=None) -> int:
+    config.respect_platform_env()
     config.enable_compilation_cache()
     p = argparse.ArgumentParser(prog="rt_lite")
     p.add_argument("--raytracing", type=int, default=32,

@@ -58,6 +58,22 @@ SOLAR_B_OFFSET = 0.00066696
 DELTA_TSURF = 1.0
 
 
+def respect_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu`` actually stick: site plugins may force a
+    remote platform into ``jax_platforms`` regardless of the env var, and a
+    remote platform whose endpoint is unreachable blocks the first
+    ``jax.devices()`` forever.  Called by the CLIs/bench/tools before any
+    backend init; no-op when the env var is unset."""
+    env = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if env == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Point JAX's persistent compilation cache at ``path`` (default
     ``/tmp/jaxcache``, override via ``JAX_COMPILATION_CACHE_DIR``).

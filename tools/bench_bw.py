@@ -33,6 +33,7 @@ ITERS = 2
 
 def main():
     from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     _cfg.enable_compilation_cache()
     import jax
     import jax.numpy as jnp

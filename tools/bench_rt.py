@@ -48,6 +48,7 @@ def make_fields(nz, ny, nx, seed=0):
 
 def main():
     from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     _cfg.enable_compilation_cache()
     import jax
     import jax.numpy as jnp

@@ -22,6 +22,7 @@ GPT_CHUNK = int(GPT_CHUNK) if GPT_CHUNK not in ("", "none") else None
 
 def main():
     from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     _cfg.enable_compilation_cache()
     kd_lw, kd_sw, clut_lw, clut_sw = ge._build(gpt_per_band=16)
     arrs = ge._atmos_arrays(ncol=2048, nlay=72)

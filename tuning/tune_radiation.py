@@ -68,6 +68,7 @@ def run_candidate(cand):
 
 def main():
     from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     _cfg.enable_compilation_cache()
     from rte_rrtmgp_tpu.utils import tuner
 
