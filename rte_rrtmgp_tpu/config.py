@@ -58,14 +58,16 @@ SOLAR_B_OFFSET = 0.00066696
 DELTA_TSURF = 1.0
 
 
-def respect_platform_env() -> None:
+def respect_platform_env(force_cpu: bool = False) -> None:
     """Make ``JAX_PLATFORMS=cpu`` actually stick: site plugins may force a
     remote platform into ``jax_platforms`` regardless of the env var, and a
     remote platform whose endpoint is unreachable blocks the first
     ``jax.devices()`` forever.  Called by the CLIs/bench/tools before any
-    backend init; no-op when the env var is unset."""
+    backend init; no-op when the env var is unset unless ``force_cpu``
+    (used by callers that know they target host devices, e.g. the
+    virtual-device multichip dryrun)."""
     env = os.environ.get("JAX_PLATFORMS", "").strip().lower()
-    if env == "cpu":
+    if force_cpu or env == "cpu":
         try:
             import jax
 
@@ -82,15 +84,23 @@ def enable_compilation_cache(path: str | None = None) -> None:
     the cache (keyed client-side on HLO) brings same-program re-runs to
     ~1 s.  Called by the CLIs, bench, and tuning entry points; safe to
     call repeatedly and harmless on CPU (JAX only persists compilations
-    above its min-compile-time threshold)."""
+    above its min-compile-time threshold).  The default is per-user (a
+    fixed world-shared /tmp name would let another local user pre-own the
+    directory and serve poisoned executables, or silently break writes)."""
     import jax
 
     cache_dir = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-                 or "/tmp/jaxcache")
+                 or os.path.join(os.path.expanduser("~"), ".cache",
+                                 "rte_rrtmgp_tpu", "jaxcache"))
     try:
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-    except Exception:
-        pass  # older jaxlib without the option
+    except Exception as e:  # surface, don't hide, a dead cache
+        import sys
+
+        print(f"rte_rrtmgp_tpu: compilation cache at {cache_dir} "
+              f"unavailable ({e}); compiles will not persist",
+              file=sys.stderr)
 
 
 def use_pallas() -> bool:

@@ -34,12 +34,18 @@ def _from_table(cwp, re, nsteps, step_size, offset, *tabs):
     fint = (pos - (idx - 1).astype(dtype))[:, :, None]
 
     # One-hot size-bin selection on the MXU: cat = [tau|ssa|asy] tables
-    # lane-concatenated, sel_lo/sel_hi (N, nsize) exact 0/1 planes.
+    # lane-concatenated, sel_lo/sel_hi (N, nsize) exact 0/1 planes.  Indices
+    # are floor-clamped at row 0 (matching jnp.take's clip mode, which the
+    # gather formulation relied on): for re below the table range both
+    # corners collapse to the first row — a flat clamp — where unclamped
+    # one-hots would be all-zero and silently zero the cloud (the
+    # C++ reference reads out of bounds there; below-range re is its
+    # callers' contract, src/Cloud_optics.cpp:85-94).
     cat = jnp.concatenate(tabs, axis=1)                        # (S, ntab*B)
     s_iota = jnp.arange(nsteps, dtype=jnp.int32)[None, :]
     idx_f = idx.reshape(N, 1)
-    sel_hi = (s_iota == idx_f).astype(dtype)
-    sel_lo = (s_iota == idx_f - 1).astype(dtype)
+    sel_hi = (s_iota == jnp.maximum(idx_f, 0)).astype(dtype)
+    sel_lo = (s_iota == jnp.maximum(idx_f - 1, 0)).astype(dtype)
     mm = lambda s: jnp.matmul(s, cat, precision="highest").reshape(
         ncol, nlay, -1)
     lo3 = mm(sel_lo)

@@ -102,6 +102,36 @@ def test_cloud_optics_matches_oracle():
                                rtol=1e-12)
 
 
+def test_cloud_optics_below_range_re_flat_clamps():
+    """Effective radii below the table range must flat-clamp to the first
+    LUT row (the gather formulation's clip semantics): tau stays positive
+    and equals the first-bin value, never zero or negative."""
+    raw = synthetic.make_cloud_raw(longwave=False)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "cloud.nc")
+        synthetic.write_cloud_nc(path, raw)
+        lut = CloudLUT.from_netcdf(path, dtype=np.float64)
+
+    ncol, nlay = 2, 3
+    lwp = np.full((ncol, nlay), 20.0)
+    iwp = np.zeros((ncol, nlay))
+    dei = np.full((ncol, nlay), lut.diamice_lwr + 5.0)
+    # far below radliq_lwr -> idx <= 0 in the lerp index arithmetic
+    rel_low = np.full((ncol, nlay), max(lut.radliq_lwr - 3.0 * lut.liq_step_size, 0.01))
+    rel_edge = np.full((ncol, nlay), lut.radliq_lwr)
+
+    out_low = cloud_optics.cloud_optics_2str(
+        lut, *map(jnp.asarray, (lwp, iwp, rel_low, dei)))
+    out_edge = cloud_optics.cloud_optics_2str(
+        lut, *map(jnp.asarray, (lwp, iwp, rel_edge, dei)))
+    assert np.asarray(out_low.tau).min() > 0.0
+    np.testing.assert_allclose(np.asarray(out_low.tau),
+                               np.asarray(out_edge.tau), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_low.ssa),
+                               np.asarray(out_edge.ssa), rtol=1e-12)
+
+
 def test_aerosol_optics_runs_and_is_physical():
     raw = synthetic.make_aerosol_raw()
     import tempfile, os

@@ -17,7 +17,7 @@ import __graft_entry__ as ge
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/step_hlo.txt"
 GPT_CHUNK = os.environ.get("BENCH_GPT_CHUNK", "128")
-GPT_CHUNK = int(GPT_CHUNK) if GPT_CHUNK not in ("", "none") else None
+GPT_CHUNK = int(GPT_CHUNK) if GPT_CHUNK not in ("", "none", "None") else None
 
 
 def main():
