@@ -66,8 +66,38 @@ def run(workdir):
     print("\n--- CPU f32 vs CPU f64 (intrinsic single-precision error, "
           "informational) ---")
     compare(p("cpu_f32.nc"), p("cpu_f64.nc"), failure_threshold=2.0)
-    print("\nPLATFORM CHECK:", "PASSED" if ok_dev else "FAILED")
-    return 0 if ok_dev else 1
+
+    # Aerosol leg (aerosky case): exercises the rh-classed one-hot aerosol
+    # lookup across platforms too.
+    aero_dir = os.path.join(workdir, "aerosky")
+    os.makedirs(aero_dir, exist_ok=True)
+    subprocess.run(
+        [sys.executable, "-m", "rte_rrtmgp_tpu.cases.inputs", "aerosky",
+         "--gpt-per-band", "8"],
+        cwd=aero_dir, env=env_base, check=True, capture_output=True)
+    acommon = common + ["--aerosol-optics", "--delta-aerosol"]
+    pa = lambda n: os.path.join(aero_dir, n)
+
+    def cli_a(args, platform=None):
+        env = dict(env_base)
+        if platform:
+            env["JAX_PLATFORMS"] = platform
+        subprocess.run(
+            [sys.executable, "-m", "rte_rrtmgp_tpu.cli", *args],
+            cwd=aero_dir, env=env, check=True, capture_output=True)
+
+    print("\nrunning aerosky CPU float32 ...", flush=True)
+    cli_a(acommon + ["--precision", "float32", "--output", "cpu_f32.nc"],
+          platform="cpu")
+    print("running aerosky default backend float32 ...", flush=True)
+    cli_a(acommon + ["--precision", "float32", "--output", "dev_f32.nc"])
+    print("\n--- aerosky: device f32 vs CPU f32 ---")
+    ok_aero = compare(pa("dev_f32.nc"), pa("cpu_f32.nc"),
+                      failure_threshold=1e-4)
+
+    ok = ok_dev and ok_aero
+    print("\nPLATFORM CHECK:", "PASSED" if ok else "FAILED")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
