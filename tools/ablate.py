@@ -41,6 +41,8 @@ def bench(name, fn, args, probe_key=None):
 
 
 def main():
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     kd_lw, kd_sw, _, _ = jax.device_put(ge._build(gpt_per_band=16))
     arrs = ge._atmos_arrays(ncol=NCOL, nlay=NLAY)
     put = lambda k: jax.device_put(arrs[k])

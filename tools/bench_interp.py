@@ -24,6 +24,8 @@ K = 10
 
 
 def main():
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     import jax
     import jax.numpy as jnp
 

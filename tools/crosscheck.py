@@ -30,6 +30,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(workdir):
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     from rte_rrtmgp_tpu.cases.check import compare
 
     os.makedirs(workdir, exist_ok=True)

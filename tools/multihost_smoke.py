@@ -24,6 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)

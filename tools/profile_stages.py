@@ -87,6 +87,8 @@ def timeit(name, fn, *args, vary: int = 0, chunks: int = 1):
 
 
 def main():
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     kd_lw, kd_sw, clut_lw, clut_sw = jax.device_put(ge._build(gpt_per_band=16))
     arrs = ge._atmos_arrays(ncol=NCOL, nlay=NLAY)
     put = lambda k: jax.device_put(arrs[k])

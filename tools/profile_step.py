@@ -23,6 +23,8 @@ GPT_CHUNK = int(GPT_CHUNK) if GPT_CHUNK not in ("", "none") else None
 
 
 def main():
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
     kd_lw, kd_sw, clut_lw, clut_sw = ge._build(gpt_per_band=16)
     arrs = ge._atmos_arrays(ncol=2048, nlay=72)
     step = ge.make_step(kd_lw, kd_sw, clut_lw, clut_sw, gpt_chunk=GPT_CHUNK)
