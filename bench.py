@@ -44,12 +44,44 @@ R1_BASELINE_COLGPT_PER_S = 4.17e4            # fetch-synchronized (current)
 R1_BASELINE_OLD_METHOD_COLGPT_PER_S = 8.19e6  # block_until_ready (invalid)
 
 
+def _probe_backend(timeout_s: int) -> str | None:
+    """Initialize the JAX backend in a THROWAWAY subprocess first: a remote
+    platform whose tunnel is down blocks ``jax.devices()`` forever and a
+    same-process timeout cannot reliably interrupt it.  Returns an error
+    string on failure, None when the backend is reachable."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import os, jax\n"
+             "if os.environ.get('JAX_PLATFORMS', '').strip().lower() == "
+             "'cpu':\n"
+             "    jax.config.update('jax_platforms', 'cpu')\n"
+             "print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return f"backend init did not complete within {timeout_s}s"
+    if r.returncode != 0:
+        return (r.stderr or "backend init failed").strip().splitlines()[-1]
+    return None
+
+
 def main():
     import jax
 
     from rte_rrtmgp_tpu import config as _cfg
     _cfg.respect_platform_env()
     _cfg.enable_compilation_cache()
+
+    err = _probe_backend(int(os.environ.get("BENCH_PROBE_TIMEOUT", "600")))
+    if err is not None:
+        print(json.dumps({
+            "metric": "all-sky lw+sw two-stream columns*gpoints/s per chip",
+            "value": 0, "unit": "col*gpt/s", "vs_baseline": 0,
+            "error": f"device backend unavailable: {err}"}))
+        raise SystemExit(1)
 
     import __graft_entry__ as ge
 
