@@ -52,6 +52,12 @@ def main(argv=None) -> int:
     p.add_argument("--steps-per-dispatch", type=int, default=4,
                    help="spectral steps per device dispatch (long fused "
                         "renders trip the TPU execution watchdog)")
+    p.add_argument("--spectral-mode", choices=("scan", "lanes"),
+                   default="scan",
+                   help="per-dispatch spectral execution: sequential scan "
+                        "or all steps merged into the vector lanes (one "
+                        "batched photon loop; faster when the per-step "
+                        "loop is latency-bound)")
     p.add_argument("--gpt-chunk", type=int, default=None)
     p.add_argument("--input", default="rte_rrtmgp_input.nc")
     p.add_argument("--output", default="rte_rrtmgp_output.nc")
@@ -146,6 +152,7 @@ def main(argv=None) -> int:
         delta_aerosol=args.delta_aerosol,
         gpt_chunk=args.gpt_chunk, nee_mode=args.nee_mode,
         steps_per_dispatch=args.steps_per_dispatch,
+        spectral_mode=args.spectral_mode,
         **solve_clouds, **aerosols)
     float(np.asarray(out["radiance"]).ravel()[0])  # host fetch = sync
     status.print_message(
@@ -188,6 +195,7 @@ def main(argv=None) -> int:
                 delta_aerosol=args.delta_aerosol,
                 gpt_chunk=args.gpt_chunk, nee_mode=args.nee_mode,
                 steps_per_dispatch=args.steps_per_dispatch,
+                spectral_mode=args.spectral_mode,
                 **solve_clouds, **aerosols)
             float(np.asarray(out_p["radiance"]).ravel()[0])
         status.print_message("Profiler trace in /tmp/rte_rrtmgp_bw_trace")

@@ -129,7 +129,7 @@ class RadiationSolverBW:
               delta_cloud: bool = False, delta_aerosol: bool = False,
               gpt_chunk: Optional[int] = None, key=None,
               bg_column: str = "first", steps_per_dispatch: Optional[int] = 4,
-              nee_mode: str = "walk",
+              nee_mode: str = "walk", spectral_mode: str = "scan",
               dtype=np.float32) -> dict:
         """Render a camera view.  mode="image" -> XYZ (3, ny, nx);
         mode="broadband" -> radiance (ny, nx).
@@ -228,7 +228,8 @@ class RadiationSolverBW:
                 jnp.asarray(p1(rayl_arr)), jnp.asarray(solar),
                 camera=camera, grid_cells=tuple(grid_cells),
                 kn_grid=tuple(kn_grid), photons_per_pixel=photons_per_pixel,
-                mode=mode, bg_column=bg_column, nee_mode=nee_mode)
+                mode=mode, bg_column=bg_column, nee_mode=nee_mode,
+                spectral_mode=spectral_mode)
             acc = part if acc is None else tuple(a + b
                                                  for a, b in zip(acc, part))
         xyz_img, radiance, total_src = acc
@@ -241,13 +242,14 @@ class RadiationSolverBW:
 
 @functools.partial(jax.jit, static_argnames=(
     "camera", "grid_cells", "kn_grid", "photons_per_pixel", "mode",
-    "bg_column", "nee_mode"))
+    "bg_column", "nee_mode", "spectral_mode"))
 def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
                  mu0, azi, air_col, z_lev, grid_d,
                  igpt_arr, band_arr, toaf_arr, xyz_arr, rayl_arr, solar,
                  *, camera, grid_cells, kn_grid, photons_per_pixel, mode,
                  bg_column: str = "first",
-                 nee_mode: str = "walk"):
+                 nee_mode: str = "walk",
+                 spectral_mode: str = "scan"):
     dtype = gas_tau.dtype
     nz, ny, nx = grid_cells
     ncol, nlay, ngpt = gas_tau.shape
@@ -273,8 +275,8 @@ def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
     def to3d(a):
         return a.T.reshape(nz, ny, nx)
 
-    def body(acc, xs):
-        igpt, band, toaf, xyz, rayl_xs = xs
+    def step_optics(igpt, band, rayl_xs):
+        """Per-spectral-step 3D fields + background profile + albedo."""
         tau_g = jax.lax.dynamic_index_in_dim(gas_tau, igpt, 2, keepdims=False)
         ssa_g = jax.lax.dynamic_index_in_dim(gas_ssa, igpt, 2, keepdims=False)
 
@@ -323,14 +325,43 @@ def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
         alb_band = jnp.take_along_axis(
             sfc_alb, jnp.broadcast_to(band, (ncol, 1)).astype(jnp.int32),
             axis=1, mode="clip")[:, 0].reshape(ny, nx)
+        return k3 + (kbg_prof, ssa_bg, asy_split_bg, alb_band)
 
-        key_g = jax.random.fold_in(key, igpt * 16 + 0)
-        count, shot = rbw.trace_rays_bw(
-            key_g, camera, *k3,
-            kbg_prof, ssa_bg, asy_split_bg, z_lev_bg,
-            alb_band, land_use.reshape(ny, nx), kn_grid,
+    def trace_one(key_g, kx, ksg, ksc, ksa, gc3, ga3, kbgp, ssab, asyb, alb):
+        count, _shot = rbw.trace_rays_bw(
+            key_g, camera, kx, ksg, ksc, ksa, gc3, ga3,
+            kbgp, ssab, asyb, z_lev_bg,
+            alb, land_use.reshape(ny, nx), kn_grid,
             grid_d, sun_dir, mu,
-            photons_per_pixel=photons_per_pixel)
+            photons_per_pixel=photons_per_pixel, nee_mode=nee_mode)
+        return count
+
+    if spectral_mode == "lanes":
+        # Spectral-lane merge: every step of this dispatch traces
+        # CONCURRENTLY — vmap lifts the photon while_loop to one batched
+        # loop whose iteration count is the MAX walk length over the steps
+        # instead of their sum.  Below ~32k rays the per-step loop is
+        # iteration-latency-bound (PERF.md), so folding the spectral axis
+        # into the vector width buys wall-clock directly; per-step RNG
+        # streams are identical to scan mode, so the modes agree to
+        # accumulation order.
+        keys = jax.vmap(lambda g: jax.random.fold_in(key, g * 16 + 0))(
+            igpt_arr)
+        fields = jax.vmap(step_optics)(igpt_arr, band_arr, rayl_arr)
+        counts = jax.vmap(trace_one)(keys, *fields)        # (S, ny, nx)
+        toa_src_s = solar[igpt_arr]                        # (S,)
+        w = (toa_src_s * toaf_arr / photons_per_pixel)[:, None, None]
+        flux_cam_s = counts * w
+        xyz_img = jnp.einsum("sc,syx->cyx", xyz_arr, flux_cam_s)
+        radiance = flux_cam_s.sum(axis=0)
+        total_src = (toa_src_s * toaf_arr).sum()
+        return xyz_img, radiance, total_src
+
+    def body(acc, xs):
+        igpt, band, toaf, xyz, rayl_xs = xs
+        fields = step_optics(igpt, band, rayl_xs)
+        key_g = jax.random.fold_in(key, igpt * 16 + 0)
+        count = trace_one(key_g, *fields)
 
         toa_src = solar[igpt]
         flux_cam = rbw.count_to_radiance(count, toa_src, toaf,

@@ -153,6 +153,55 @@ def test_bg_column_modes_agree_when_homogeneous():
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.06)
 
 
+def test_spectral_lanes_matches_scan():
+    """The vmap-merged spectral-lane mode must reproduce the sequential
+    scan: per-step RNG streams are identical by construction, so the
+    rendered radiance differs only by accumulation order."""
+    import jax
+
+    from rte_rrtmgp_tpu.data import synthetic
+    from rte_rrtmgp_tpu.models import KDist
+    from rte_rrtmgp_tpu.models.radiation_bw import RadiationSolverBW
+    from rte_rrtmgp_tpu.models import raytracer_bw as rbw
+    from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+    from helpers import GASES
+
+    kd = KDist.from_raw(synthetic.make_kdist_raw(False, gpt_per_band=1),
+                        GASES, dtype=np.float32)
+    ny = nx = 4
+    nz, nlay = 6, 12
+    atm = make_atmosphere(ny * nx, nlay, seed=11, perturb=True)
+    atm["lwp"][:, 2:4] = 30.0  # some cloud so scattering paths differ
+    cam = rbw.Camera(cam_type=2, ny=ny, nx=nx, fov=80.0,
+                     position=(0.0, 0.0, 0.0))
+    z_lev = np.arange(nlay + 1) * 400.0
+    common = dict(
+        gas_concs=atm["gas_concs"], p_lay=atm["p_lay"], p_lev=atm["p_lev"],
+        t_lay=atm["t_lay"], mu0=np.full(ny * nx, 0.8),
+        azi=np.zeros(ny * nx), sfc_alb=np.full((ny * nx, kd.nbnd), 0.1),
+        land_use_map=np.zeros(ny * nx), camera=cam,
+        grid_cells=(nz, ny, nx), grid_d=(400.0, 500.0, 500.0),
+        kn_grid=(2, 2, 2), z_lev=z_lev, photons_per_pixel=32,
+        lwp=atm["lwp"], iwp=atm["iwp"], rel=atm["rel"], dei=atm["dei"],
+        mode="image", n_sub=2, key=jax.random.PRNGKey(5))
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "c.nc")
+        synthetic.write_cloud_nc(p, synthetic.make_cloud_raw(False))
+        from rte_rrtmgp_tpu.models import CloudLUT
+        clut = CloudLUT.from_netcdf(p, dtype=np.float32)
+    solver = RadiationSolverBW(kd, clut)
+    out_scan = solver.solve(spectral_mode="scan", **common)
+    out_lanes = solver.solve(spectral_mode="lanes", **common)
+    a = np.asarray(out_scan["radiance"])
+    b = np.asarray(out_lanes["radiance"])
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out_lanes["XYZ"]),
+                               np.asarray(out_scan["XYZ"]),
+                               rtol=1e-5, atol=1e-9)
+
+
 def test_nee_field_matches_walk():
     """The deterministic sun-transmission field (fast preview mode) agrees
     with the default reference-style stochastic walk within MC noise on a
