@@ -53,6 +53,11 @@ def main(argv=None) -> int:
     p.add_argument("--gpt-per-dispatch", type=int, default=None,
                    help="Monte-Carlo g-points per device dispatch (bounds "
                         "single-program runtime below the TPU watchdog)")
+    p.add_argument("--spectral-mode", choices=("scan", "lanes"),
+                   default="scan",
+                   help="per-dispatch spectral execution: sequential scan "
+                        "or all g-points merged into the vector lanes "
+                        "(one batched photon loop)")
     p.add_argument("--single-gpt", type=int, default=None, metavar="G",
                    help="trace only g-point G (1-based)")
     p.add_argument("--profiling", action="store_true",
@@ -187,6 +192,7 @@ def main(argv=None) -> int:
         delta_cloud=args.delta_cloud, delta_aerosol=args.delta_aerosol,
         gpt_chunk=args.gpt_chunk, single_gpt=args.single_gpt,
         gpt_per_dispatch=args.gpt_per_dispatch,
+        spectral_mode=args.spectral_mode,
         output_bnd_fluxes=args.output_bnd_fluxes,
         key=jax.random.PRNGKey(args.seed),
         **clouds, **aerosols)
@@ -207,6 +213,7 @@ def main(argv=None) -> int:
                 delta_cloud=args.delta_cloud, delta_aerosol=args.delta_aerosol,
                 gpt_chunk=args.gpt_chunk, single_gpt=args.single_gpt,
                 gpt_per_dispatch=args.gpt_per_dispatch,
+                spectral_mode=args.spectral_mode,
                 key=jax.random.PRNGKey(args.seed), **clouds, **aerosols)
             float(np.asarray(out_p.rt_flux_tod_up).ravel()[0])
         status.print_message("Profiler trace in /tmp/rte_rrtmgp_rt_trace")

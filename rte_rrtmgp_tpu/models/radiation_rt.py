@@ -71,7 +71,7 @@ class RTFluxes(NamedTuple):
     "grid_cells", "photons_per_pixel", "kn_grid", "independent_column",
     "gpt_chunk", "with_twostream", "with_raytracing", "with_clouds",
     "with_aerosols", "delta_cloud", "delta_aerosol", "with_mie",
-    "output_bnd_fluxes", "scan_width"))
+    "output_bnd_fluxes", "scan_width", "spectral_mode"))
 def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
                    p_lay, p_lev, t_lay, vmr, col_dry,
                    sfc_alb_dir, sfc_alb_dif, tsi_scaling, mu0, azi,
@@ -84,7 +84,8 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
                    delta_cloud: bool, delta_aerosol: bool,
                    with_mie: bool = False,
                    output_bnd_fluxes: bool = False,
-                   scan_width=None):
+                   scan_width=None,
+                   spectral_mode: str = "scan"):
     nz, ny, nx = grid_cells
     ncol, nlay = p_lay.shape
     dtype = p_lay.dtype
@@ -209,8 +210,9 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
         top = q[:, nz:].sum(axis=1, keepdims=True)
         return jnp.concatenate([q[:, :nz], top], axis=1)
 
-    def body(acc, xs):
-        igpt, tau_g, ssa_g, solar_g = xs
+    def per_gpt(igpt, tau_g, ssa_g, solar_g):
+        """One g-point's Monte-Carlo trace: returns the 7 flux fields and
+        the band index (for by-band accumulation)."""
         band = jnp.asarray(g2b)[igpt]
 
         def pick_band(arr_b):   # (ncol, nlay, nbnd) -> (ncol, nlay)
@@ -275,6 +277,10 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
         flat = (out.flux_toa_down, out.flux_tod_up, out.flux_sfc_dir,
                 out.flux_sfc_dif, out.flux_sfc_up, out.flux_abs_dir,
                 out.flux_abs_dif)
+        return flat, band
+
+    def body(acc, xs):
+        flat, band = per_gpt(*xs)
         bb = tuple(a + b for a, b in zip(acc[:7], flat))
         if not output_bnd_fluxes:
             return bb, None
@@ -310,7 +316,21 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
               jnp.moveaxis(dslice(gas_ssa), 2, 0),
               jax.lax.dynamic_slice_in_dim(jnp.asarray(kd.solar_source),
                                            s0, scan_width, axis=0))
-    acc, _ = jax.lax.scan(body, acc0, xs)
+    if spectral_mode == "lanes":
+        # Spectral-lane merge (see radiation_bw._render_impl): every
+        # g-point of this dispatch traces concurrently in one batched
+        # photon while_loop — iteration count becomes the max walk length
+        # over the window instead of the sum.  Per-g RNG streams equal
+        # scan mode's, so the two modes agree to accumulation order.
+        flats, bands = jax.vmap(per_gpt)(*xs)
+        acc = tuple(a + f.sum(axis=0) for a, f in zip(acc0[:7], flats))
+        if output_bnd_fluxes:
+            oh = jax.nn.one_hot(bands, kd.nbnd, dtype=dtype)     # (W, nbnd)
+            acc = acc + tuple(
+                a + jnp.einsum("wb,wyx->byx", oh, f)
+                for a, f in zip(acc0[7:], flats[:5]))
+    else:
+        acc, _ = jax.lax.scan(body, acc0, xs)
 
     day0 = (mu0[0] > 0.0).astype(dtype)
     acc = tuple(a * day0 for a in acc)
@@ -343,6 +363,7 @@ class RadiationSolverRT:
               single_gpt: Optional[int] = None,
               output_bnd_fluxes: bool = False,
               gpt_per_dispatch: Optional[int] = None,
+              spectral_mode: str = "scan",
               key=None, dtype=None) -> RTFluxes:
         """grid_cells = (nz, ny, nx); grid_d = (dz, dy, dx) in meters.
 
@@ -405,7 +426,8 @@ class RadiationSolverRT:
             independent_column=independent_column, gpt_chunk=gpt_chunk,
             with_clouds=with_clouds, with_aerosols=with_aerosols,
             delta_cloud=delta_cloud, delta_aerosol=delta_aerosol,
-            with_mie=with_mie, output_bnd_fluxes=output_bnd_fluxes)
+            with_mie=with_mie, output_bnd_fluxes=output_bnd_fluxes,
+            spectral_mode=spectral_mode)
         if gpt_per_dispatch is None or not raytracing:
             return _solve_rt_impl(*args, with_twostream=twostream,
                                   with_raytracing=raytracing, **kw)

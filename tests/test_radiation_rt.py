@@ -261,3 +261,25 @@ def test_windowed_dispatch_matches_single(setup):
     np.testing.assert_allclose(
         np.asarray(win.rt_bnd_flux_sfc_dir).sum(0),
         np.asarray(win.rt_flux_sfc_dir), rtol=1e-5, atol=1e-5)
+
+
+def test_spectral_lanes_matches_scan(setup):
+    """The vmap-merged spectral-lane mode reproduces the sequential g-point
+    scan (identical per-g RNG streams; differs only by accumulation order),
+    both single-dispatch and windowed."""
+    kd, clut, atm = setup
+    scan = _solve(kd, clut, atm, photons_per_pixel=16,
+                  output_bnd_fluxes=True)
+    lanes = _solve(kd, clut, atm, photons_per_pixel=16,
+                   output_bnd_fluxes=True, spectral_mode="lanes")
+    lanes_w = _solve(kd, clut, atm, photons_per_pixel=16,
+                     output_bnd_fluxes=True, spectral_mode="lanes",
+                     gpt_per_dispatch=5)
+    for name in ("rt_flux_tod_dn", "rt_flux_tod_up", "rt_flux_sfc_dir",
+                 "rt_flux_sfc_dif", "rt_flux_sfc_up", "rt_flux_abs_dir",
+                 "rt_flux_abs_dif", "rt_bnd_flux_sfc_dir"):
+        a = np.asarray(getattr(scan, name))
+        np.testing.assert_allclose(np.asarray(getattr(lanes, name)), a,
+                                   rtol=2e-5, atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(getattr(lanes_w, name)), a,
+                                   rtol=2e-5, atol=1e-5, err_msg=name)
