@@ -68,7 +68,9 @@ def main():
             grid_cells=(nz, ny, nx), grid_d=(400.0, 500.0, 500.0),
             kn_grid=(4, 4, 4), z_lev=z_lev, photons_per_pixel=PPP,
             mode="broadband", key=key,
-            nee_mode=os.environ.get("BENCH_BW_NEE", "walk"))
+            nee_mode=os.environ.get("BENCH_BW_NEE", "walk"),
+            spectral_mode=os.environ.get("BENCH_BW_SPECTRAL", "scan"),
+            steps_per_dispatch=int(os.environ.get("BENCH_BW_SPD", "4")))
 
     key = jax.random.PRNGKey(0)
     out = render(key, t_lay0)
