@@ -151,10 +151,16 @@ def test_cli_rt_gpt_per_dispatch(tmp_path_factory, monkeypatch):
     assert rt_main(["--raytracing", "8", "--output", "one.nc"]) == 0
     assert rt_main(["--raytracing", "8", "--gpt-per-dispatch", "5",
                     "--output", "win.nc"]) == 0
-    with NcReader("one.nc") as a, NcReader("win.nc") as b:
+    assert rt_main(["--raytracing", "8", "--gpt-per-dispatch", "5",
+                    "--spectral-mode", "lanes",
+                    "--output", "lanes.nc"]) == 0
+    with NcReader("one.nc") as a, NcReader("win.nc") as b, \
+            NcReader("lanes.nc") as c:
         for v in ("rt_flux_sfc_dir", "rt_flux_abs_dir"):
             np.testing.assert_allclose(a.read(v), b.read(v), rtol=2e-6,
                                        atol=1e-6, err_msg=v)
+            np.testing.assert_allclose(a.read(v), c.read(v), rtol=2e-5,
+                                       atol=1e-5, err_msg=v + " (lanes)")
 
 
 def test_cli_bw_nee_and_dispatch_flags(tmp_path_factory, monkeypatch):
@@ -182,3 +188,11 @@ def test_cli_bw_nee_and_dispatch_flags(tmp_path_factory, monkeypatch):
     with NcReader("rte_rrtmgp_output.nc") as nc:
         rad = nc.read("radiance")
         assert rad.shape == (4, 4) and np.isfinite(rad).all()
+
+    rc = bw_main(["--broadband", "--bw-raytracing", "8",
+                  "--spectral-mode", "lanes", "--steps-per-dispatch", "2",
+                  "--output", "lanes.nc"])
+    assert rc == 0
+    with NcReader("lanes.nc") as nc:
+        rad_l = nc.read("radiance")
+        assert rad_l.shape == (4, 4) and np.isfinite(rad_l).all()
