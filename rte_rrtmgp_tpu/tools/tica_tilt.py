@@ -309,7 +309,7 @@ def tica_tilt(sza: float, azi: float, n_x: int, n_y: int,
               xh, yh, zh, z, fields_lay: Dict[str, np.ndarray],
               p_lay: np.ndarray, t_lay: np.ndarray,
               p_lev: np.ndarray, t_lev: np.ndarray,
-              z_lev_full=None, rng_seed: int = 0) -> dict:
+              rng_seed: int = 0) -> dict:
     """Tilt a 3D case for slant-path 1D solving — full reference pipeline
     (tilt -> compress back to the original layer count -> per-column cloud
     tilting -> background restore; ``tica_tilt``, tilt_utils.cpp:813-1176).
