@@ -231,3 +231,44 @@ def test_lw_greenhouse_monotonicity():
     dn1 = np.asarray(out1["lw_flux_dn"])[:, sfc]
     dn2 = np.asarray(out2["lw_flux_dn"])[:, sfc]
     assert np.all(dn2 > dn1), (dn1, dn2)
+
+
+def test_table_edge_inputs_finite():
+    """Temperatures/pressures exactly at the k-table bounds, overhead sun
+    (mu0=1), black surface (emis=1), and zero cloud water must all produce
+    finite fluxes — the epsilon/guard paths at the interpolation edges."""
+    kd, clut, _ = _luts(True)
+    kd_sw, clut_sw, _ = _luts(False)
+    atm = _atm()
+    ncol, nlay = atm["p_lay"].shape
+
+    t_edge = np.asarray(atm["t_lay"]).copy()
+    t_edge[:, 0] = kd.temp_ref_min
+    t_edge[:, -1] = kd.temp_ref_max
+    p_edge = np.asarray(atm["p_lay"]).copy()
+    hi = np.exp(np.asarray(kd.press_ref_log)).max()
+    lo = np.exp(np.asarray(kd.press_ref_log)).min()
+    p_edge[:, 0] = min(hi, p_edge[:, 0].max())
+    p_edge[:, -1] = max(lo, p_edge[:, -1].min())
+    t_lev = np.asarray(atm["t_lev"]).copy()
+    t_lev[:, 0] = kd.temp_ref_min
+    t_lev[:, -1] = kd.temp_ref_max
+
+    out = RadiationSolverLW(kd, clut).solve(
+        gas_concs=atm["gas_concs"], p_lay=p_edge, p_lev=atm["p_lev"],
+        t_lay=t_edge, t_lev=t_lev, t_sfc=np.full(ncol, kd.temp_ref_min),
+        emis_sfc=np.full((ncol, kd.nbnd), 1.0),
+        lwp=np.zeros((ncol, nlay)), iwp=np.zeros((ncol, nlay)),
+        rel=np.zeros((ncol, nlay)), dei=np.zeros((ncol, nlay)))
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+    out_sw = RadiationSolverSW(kd_sw, clut_sw).solve(
+        gas_concs=atm["gas_concs"], p_lay=p_edge, p_lev=atm["p_lev"],
+        t_lay=t_edge, mu0=np.ones(ncol),
+        sfc_alb_dir=np.zeros((ncol, kd_sw.nbnd)),
+        sfc_alb_dif=np.ones((ncol, kd_sw.nbnd)),
+        lwp=np.zeros((ncol, nlay)), iwp=np.zeros((ncol, nlay)),
+        rel=np.zeros((ncol, nlay)), dei=np.zeros((ncol, nlay)))
+    for k, v in out_sw.items():
+        assert np.isfinite(np.asarray(v)).all(), k
