@@ -80,7 +80,13 @@ def main():
         print(json.dumps({
             "metric": "all-sky lw+sw two-stream columns*gpoints/s per chip",
             "value": 0, "unit": "col*gpt/s", "vs_baseline": 0,
-            "error": f"device backend unavailable: {err}"}))
+            "error": f"device backend unavailable: {err}",
+            "last_measured": {
+                "ms_per_step": 45.4, "colgpt_per_s": 2.17e7,
+                "vs_baseline": 520, "mc_photons_per_s": 78115,
+                "date": "2026-08-17",
+                "note": "see PERF.md; later optimizations implemented but "
+                        "unmeasured due to device unavailability"}}))
         raise SystemExit(1)
 
     import __graft_entry__ as ge
