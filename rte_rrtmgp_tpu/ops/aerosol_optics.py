@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .. import config
 from ..models.aerosol_lut import AerosolLUT, AEROSOL_SPECIES
 from ..models.types import OpticalProps2str
+from .fluxes import onehot_rows
 
 
 def aerosol_optics_2str(lut: AerosolLUT, aermr, rh, plev) -> OpticalProps2str:
@@ -50,8 +51,7 @@ def aerosol_optics_2str(lut: AerosolLUT, aermr, rh, plev) -> OpticalProps2str:
              for s in philic
              for t in (lut.mext_philic, lut.ssa_philic, lut.g_philic)],
             axis=1)
-        sel = (jnp.arange(lut.nhum, dtype=jnp.int32)[None, :]
-               == ihum.reshape(-1, 1)).astype(dtype)
+        sel = onehot_rows(ihum, lut.nhum, dtype)
         vals = jnp.matmul(sel, cat, precision="highest").reshape(
             ncol, nlay, -1)
         philic_cl = {s.table_idx: vals[:, :, 3 * i * nbnd:3 * (i + 1) * nbnd]

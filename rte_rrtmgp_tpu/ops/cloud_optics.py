@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from .. import config
 from ..models.cloud_lut import CloudLUT
 from ..models.types import OpticalProps1scl, OpticalProps2str
+from .fluxes import onehot_rows
 
 
 def _from_table(cwp, re, nsteps, step_size, offset, *tabs):
@@ -27,7 +28,6 @@ def _from_table(cwp, re, nsteps, step_size, offset, *tabs):
     (tau_t, ssa_t[, asy_t]) LUTs of shape (nsize, nbnd)."""
     dtype = cwp.dtype
     ncol, nlay = cwp.shape
-    N = ncol * nlay
     mask = cwp > 0.0
     pos = (re - offset) / step_size
     idx = jnp.minimum(pos.astype(jnp.int32) + 1, nsteps - 1)   # 1-based
@@ -42,10 +42,8 @@ def _from_table(cwp, re, nsteps, step_size, offset, *tabs):
     # C++ reference reads out of bounds there; below-range re is its
     # callers' contract, src/Cloud_optics.cpp:85-94).
     cat = jnp.concatenate(tabs, axis=1)                        # (S, ntab*B)
-    s_iota = jnp.arange(nsteps, dtype=jnp.int32)[None, :]
-    idx_f = idx.reshape(N, 1)
-    sel_hi = (s_iota == jnp.maximum(idx_f, 0)).astype(dtype)
-    sel_lo = (s_iota == jnp.maximum(idx_f - 1, 0)).astype(dtype)
+    sel_hi = onehot_rows(jnp.maximum(idx, 0), nsteps, dtype)
+    sel_lo = onehot_rows(jnp.maximum(idx - 1, 0), nsteps, dtype)
     mm = lambda s: jnp.matmul(s, cat, precision="highest").reshape(
         ncol, nlay, -1)
     lo3 = mm(sel_lo)

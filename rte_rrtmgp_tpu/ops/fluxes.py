@@ -17,6 +17,18 @@ def net_broadband(flux_dn, flux_up):
     return flux_dn - flux_up
 
 
+def onehot_rows(idx, nrows: int, dtype):
+    """Exact 0/1 row-selection plane for table lookups on the MXU:
+    ``onehot_rows(idx, R, dt) @ table[(R, W)]`` equals ``table[idx]`` with a
+    single nonzero unit product per output (element/row gathers at
+    (ncol, nlay) index width cost ~0.45 ms each on TPU; the matmul is
+    sub-0.1 ms).  ``idx`` is any integer array; returns
+    ``(idx.size, nrows)``.  Callers clamp ``idx`` to their table's range
+    first — out-of-range rows select NOTHING (all-zero row)."""
+    iota = jnp.arange(nrows, dtype=jnp.int32)[None, :]
+    return (iota == idx.reshape(-1, 1)).astype(dtype)
+
+
 def sum_byband(gpt_flux, gpt2band, nbnd: int):
     """Per-band sums: (ncol, nlev, ngpt) -> (ncol, nlev, nbnd).
 

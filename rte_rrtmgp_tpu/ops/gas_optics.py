@@ -42,7 +42,7 @@ from .. import config
 from ..models.kdist import KDist
 from ..models.types import OpticalProps1scl, OpticalProps2str, SourceFuncLW
 from ..utils.pytree import pytree_dataclass
-from .fluxes import expand_bands_to_gpt
+from .fluxes import expand_bands_to_gpt, onehot_rows
 
 
 @pytree_dataclass
@@ -679,12 +679,10 @@ def _interp1d_planck(temp, kd: KDist):
     idx = jnp.clip(ival + 1, 1, nT - 1)
 
     shape = temp.shape
-    idx_f = idx.reshape(-1, 1)
-    t_iota = jnp.arange(nT, dtype=jnp.int32)[None, :]
-    mm = lambda sel: jnp.matmul(sel.astype(dtype), kd.totplnk,
+    mm = lambda sel: jnp.matmul(sel, kd.totplnk,
                                 precision="highest").reshape(shape + (-1,))
-    lo = mm(t_iota == idx_f - 1)
-    hi = mm(t_iota == idx_f)
+    lo = mm(onehot_rows(idx - 1, nT, dtype))
+    hi = mm(onehot_rows(idx, nT, dtype))
     b = lo + frac[..., None] * (hi - lo)   # (..., nbnd)
     return expand_bands_to_gpt(b, kd.gpt2band)
 
