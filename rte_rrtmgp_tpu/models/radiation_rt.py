@@ -375,6 +375,13 @@ class RadiationSolverRT:
         scan is ONE device program; long renders trip the TPU worker's
         execution watchdog).  All windows reuse one compiled program
         (dynamic window start).  None = single dispatch.
+
+        ``spectral_mode="lanes"``: trace every g-point of a dispatch
+        concurrently (vmap-merged photon loop) instead of scanning them
+        sequentially.  Memory scales with the window size (per-g 3D
+        fields + per-g photon state live at once) — combine with
+        ``gpt_per_dispatch`` on large domains; "lanes" over the FULL
+        spectrum of an RCEMIP-size domain will exhaust device memory.
         """
         dtype = dtype or np.float32
         kd = self.kdist
