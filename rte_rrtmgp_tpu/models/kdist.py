@@ -175,7 +175,6 @@ class KDist:
         def slc(a, axis=0):
             if a is None:
                 return None
-            import jax.numpy as jnp
             return jax.lax.slice_in_dim(a, g0, g1, axis=axis)
 
         import jax

@@ -32,8 +32,6 @@ Everything is shape-polymorphic in (ncol, nlay) and jit-compatible with
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -298,7 +296,6 @@ def _interp3d_rows_pallas(kd: KDist, table_rows, interp: Interp,
     """Pallas lowering of _interp3d_rows (same math, VMEM-resident table)."""
     from .pallas import interp_rows_pallas, kernel_opts
 
-    import os
 
     C, L = interp.tropo.shape
     N = C * L
@@ -421,7 +418,6 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
     :func:`tau_major_and_pfrac`."""
     dtype = kd.kmajor_rows.dtype
     if config.use_pallas() and dtype == jnp.float32:
-        import os
 
         from .pallas import interp_rows_multi, kernel_opts
 
@@ -508,7 +504,6 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
         # scaling broadcast per interval (contributors of one interval
         # share the interval's flavor; the atmosphere mask is folded into
         # the scaling plane).
-        import os
 
         from .pallas import interp_rows_pallas, kernel_opts
 
@@ -622,7 +617,6 @@ def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
     fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
 
     if config.use_pallas() and dtype == jnp.float32:
-        import os
 
         from .pallas import interp_rows_pallas, kernel_opts
 
