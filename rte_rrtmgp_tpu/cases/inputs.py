@@ -97,7 +97,8 @@ def make_case_files(workdir: str, case: str = "allsky", seed: int = 0,
 
     Cases (sizes per SURVEY.md par.6):
       * allsky:  24 x 1 columns, 72 layers, idealized clouds
-      * rcemip:  64 x 64 columns, 96 layers (throughput case)
+      * rcemip:  64 x 64 columns, 256 layers (throughput case, reference
+        rcemip/test_rcemip_input.py:5-8 scale)
       * rfmip:   100 x 18 columns, 60 layers (clear-sky accuracy case)
     """
     import os
@@ -106,7 +107,7 @@ def make_case_files(workdir: str, case: str = "allsky", seed: int = 0,
 
     specs = {
         "allsky": dict(nx=24, ny=1, nlay=72, perturb=False, clouds=True, aerosols=False),
-        "rcemip": dict(nx=64, ny=64, nlay=96, perturb=True, clouds=True, aerosols=False),
+        "rcemip": dict(nx=64, ny=64, nlay=256, perturb=True, clouds=True, aerosols=False),
         "rfmip": dict(nx=100, ny=18, nlay=60, perturb=True, clouds=False, aerosols=False),
         "aerosky": dict(nx=24, ny=1, nlay=72, perturb=False, clouds=True, aerosols=True),
     }

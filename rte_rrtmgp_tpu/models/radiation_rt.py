@@ -71,12 +71,14 @@ class RTFluxes(NamedTuple):
     "grid_cells", "photons_per_pixel", "kn_grid", "independent_column",
     "gpt_chunk", "with_twostream", "with_raytracing", "with_clouds",
     "with_aerosols", "delta_cloud", "delta_aerosol", "with_mie",
-    "output_bnd_fluxes", "scan_width", "spectral_mode"))
+    "output_bnd_fluxes", "scan_width", "spectral_mode", "nbnd",
+    "return_gas_planes"))
 def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
                    p_lay, p_lev, t_lay, vmr, col_dry,
                    sfc_alb_dir, sfc_alb_dif, tsi_scaling, mu0, azi,
                    lwp, iwp, rel, dei, rh, aermr, grid_d,
                    mie_cdf, mie_ang, g_start=None, acc_in=None,
+                   gas_planes=None,
                    *, grid_cells, kn_grid, photons_per_pixel: int,
                    independent_column: bool, gpt_chunk,
                    with_twostream: bool, with_raytracing: bool,
@@ -85,15 +87,23 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
                    with_mie: bool = False,
                    output_bnd_fluxes: bool = False,
                    scan_width=None,
-                   spectral_mode: str = "scan"):
+                   spectral_mode: str = "scan",
+                   nbnd: Optional[int] = None,
+                   return_gas_planes: bool = False):
     nz, ny, nx = grid_cells
     ncol, nlay = p_lay.shape
     dtype = p_lay.dtype
+    # By-band accumulators always span the FULL band axis: with
+    # --single-gpt the sliced kd shrinks nbnd to 1 while gpt2band keeps
+    # GLOBAL band indices, so the caller passes the unsliced band count.
+    nbnd = kd.nbnd if nbnd is None else nbnd
 
     # Canonical top-at-0 for the 1D work: flip (surface is at index 0).
     flip = lambda a: jnp.flip(a, axis=1)
-    colgas_flip = gas_ops.build_col_gas(flip(vmr), flip(col_dry))
-    interp = gas_ops.interpolation(kd, flip(p_lay), flip(t_lay), colgas_flip)
+    if gas_planes is None:
+        colgas_flip = gas_ops.build_col_gas(flip(vmr), flip(col_dry))
+        interp = gas_ops.interpolation(kd, flip(p_lay), flip(t_lay),
+                                       colgas_flip)
 
     cld = aer = None
     if with_clouds:
@@ -113,10 +123,10 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
     ts_up = jnp.zeros((ncol, nlay + 1), dtype)
     ts_dn = jnp.zeros((ncol, nlay + 1), dtype)
     ts_dir = jnp.zeros((ncol, nlay + 1), dtype)
-    bnd_ts = (jnp.zeros((ncol, nlay + 1, kd.nbnd), dtype),) * 3 \
+    bnd_ts = (jnp.zeros((ncol, nlay + 1, nbnd), dtype),) * 3 \
         if (output_bnd_fluxes and with_twostream) else None
 
-    for g0 in range(0, kd.ngpt, step):
+    for g0 in range(0, kd.ngpt, step) if gas_planes is None else ():
         g1 = min(g0 + step, kd.ngpt)
         kdc = kd.slice_gpt(g0, g1)
         tau_abs = gas_ops.tau_major(kdc, interp)
@@ -149,7 +159,7 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
             ts_dir = ts_dir + flux_ops.sum_broadband(fdir)
             if bnd_ts is not None:
                 bnd_ts = tuple(
-                    acc + flux_ops.sum_byband(f, kdc.gpt2band, kd.nbnd)
+                    acc + flux_ops.sum_byband(f, kdc.gpt2band, nbnd)
                     for acc, f in zip(bnd_ts, (up, dn, fdir)))
 
     day = (mu0 > 0.0).astype(dtype)[:, None]
@@ -169,12 +179,19 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
         return RTFluxes(zeros2, zeros2, zeros2, zeros2, zeros2, zeros3, zeros3,
                         *ts_out, *bnd_ts_out)
 
-    gas_tau = jnp.concatenate(gas_tau_parts, axis=-1)   # (ncol, nlay, ngpt)
-    gas_ssa = jnp.concatenate(gas_ssa_parts, axis=-1)
+    if gas_planes is not None:
+        gas_tau, gas_ssa = gas_planes
+    else:
+        gas_tau = jnp.concatenate(gas_tau_parts, axis=-1)  # (ncol, nlay, ngpt)
+        gas_ssa = jnp.concatenate(gas_ssa_parts, axis=-1)
+    if return_gas_planes:
+        # Windowed-dispatch precompute: pass 1 only (gas optics for the
+        # full spectrum), so the per-window dispatches don't redo it.
+        return gas_tau, gas_ssa
 
     # --- pass 2: scan over g-points driving the Monte-Carlo tracer ---
     g2b = np.asarray(kd.gpt2band, dtype=np.int32)
-    zero_b = jnp.zeros((ncol, nlay, kd.nbnd), dtype)
+    zero_b = jnp.zeros((ncol, nlay, nbnd), dtype)
     cld_tau_b = cld.tau if with_clouds else zero_b
     cld_ssa_b = cld.ssa if with_clouds else zero_b
     cld_g_b = cld.g if with_clouds else zero_b
@@ -286,7 +303,7 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
             return bb, None
         # By-band accumulation of the 2D ray-traced fluxes: one one-hot
         # outer product per accumulator (Fluxes_byband_rt analog).
-        onehot = jax.nn.one_hot(band, kd.nbnd, dtype=dtype)[:, None, None]
+        onehot = jax.nn.one_hot(band, nbnd, dtype=dtype)[:, None, None]
         bnd = tuple(a + f[None] * onehot for a, f in zip(acc[7:], flat[:5]))
         return bb + bnd, None
 
@@ -294,7 +311,7 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
     zeros3 = jnp.zeros((nz_rt, ny, nx), dtype)
     acc0 = (zeros2, zeros2, zeros2, zeros2, zeros2, zeros3, zeros3)
     if output_bnd_fluxes:
-        zb = jnp.zeros((kd.nbnd, ny, nx), dtype)
+        zb = jnp.zeros((nbnd, ny, nx), dtype)
         acc0 = acc0 + (zb,) * 5
     if acc_in is not None:
         acc0 = acc_in
@@ -325,7 +342,7 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
         flats, bands = jax.vmap(per_gpt)(*xs)
         acc = tuple(a + f.sum(axis=0) for a, f in zip(acc0[:7], flats))
         if output_bnd_fluxes:
-            oh = jax.nn.one_hot(bands, kd.nbnd, dtype=dtype)     # (W, nbnd)
+            oh = jax.nn.one_hot(bands, nbnd, dtype=dtype)     # (W, nbnd)
             acc = acc + tuple(
                 a + jnp.einsum("wb,wyx->byx", oh, f)
                 for a, f in zip(acc0[7:], flats[:5]))
@@ -435,6 +452,7 @@ class RadiationSolverRT:
             delta_cloud=delta_cloud, delta_aerosol=delta_aerosol,
             with_mie=with_mie, output_bnd_fluxes=output_bnd_fluxes,
             spectral_mode=spectral_mode)
+        kw["nbnd"] = self.kdist.nbnd
         if gpt_per_dispatch is None or not raytracing:
             return _solve_rt_impl(*args, with_twostream=twostream,
                                   with_raytracing=raytracing, **kw)
@@ -447,9 +465,14 @@ class RadiationSolverRT:
         ts = _solve_rt_impl(*args, with_twostream=twostream,
                             with_raytracing=False, **kw) \
             if twostream else None
+        # Full-spectrum gas optics runs ONCE; each window dispatch receives
+        # the precomputed (tau, ssa) planes instead of redoing pass 1.
+        planes = _solve_rt_impl(*args, with_twostream=False,
+                                with_raytracing=True,
+                                return_gas_planes=True, **kw)
         acc = None
         for s0 in range(0, kd.ngpt, W):
-            acc = _solve_rt_impl(*args, jnp.int32(s0), acc,
+            acc = _solve_rt_impl(*args, jnp.int32(s0), acc, planes,
                                  with_twostream=False, with_raytracing=True,
                                  scan_width=W, **kw)
         bnd_rt = acc[7:] if output_bnd_fluxes else (None,) * 5

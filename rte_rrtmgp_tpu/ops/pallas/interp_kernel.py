@@ -365,12 +365,7 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
     jax.lax.fori_loop(0, B // unroll, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("metas", "neta", "block", "vec",
-                                             "unroll", "paired"))
-def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
-                      metas: tuple, neta: int, block: int = 256,
-                      vec: bool = False, unroll: int = 4,
-                      paired: bool = False):
+def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, **kw):
     """Fused multi-table interpolation: one kernel pass over the cells
     serving several (table, corners) ops that share the flavor-resolved
     eta weights — e.g. LW kmajor + planck_frac, SW kmajor + krayl.
@@ -380,6 +375,23 @@ def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
     fps: per-op fpress (N,) or None; cms_list: per-op (cm0, cm1) planes or
     None; metas: static per-op (corner_itemp, has_fp, has_cm).
     Returns a list of (N, G) outputs."""
+    # The kernel applies ONE shared pressure-fraction plane to every op
+    # with has_fp; differing per-op fps would be silently ignored.  The
+    # identity check must run OUTSIDE the jit boundary (duplicate pytree
+    # leaves become distinct tracers inside).
+    first = next((f for f in fps if f is not None), None)
+    assert all(f is None or f is first for f in fps), \
+        "interp_rows_multi: all non-None fps must be the same plane"
+    return _interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list,
+                              **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("metas", "neta", "block", "vec",
+                                             "unroll", "paired"))
+def _interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
+                       metas: tuple, neta: int, block: int = 256,
+                       vec: bool = False, unroll: int = 4,
+                       paired: bool = False):
     N, G = fms[0].shape
     dtype = tables[0].dtype
     any_fp = any(m[1] for m in metas)

@@ -21,8 +21,11 @@ in registers/VMEM, and writes ONLY the broadband (g-point-summed) fluxes —
 
 Constraints of the fast path (callers fall back to the XLA solvers
 otherwise): float32, G multiple of 128 lanes per chunk handled by the
-spectral chunk loop, nlev <= 128 (one lane tile of flux levels; RCEMIP-96
-fits, deeper grids fall back).
+spectral chunk loop.  The flux-level output tile is ceil(nlev/128)*128
+lanes and the column block auto-shrinks so the working set fits the
+16 MB scoped-VMEM budget — the reference's 256-layer RCEMIP grid
+(nlev=257) runs the fused path at a smaller block instead of falling
+back to the ~7x slower XLA solvers.
 """
 
 from __future__ import annotations
@@ -37,18 +40,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ... import config
 
-LVLP = 128  # flux-level lane tile; nlev must fit
+LVLP = 128  # flux-level lane tile quantum
+VMEM_BUDGET = 14 * 2**20  # leave headroom under the 16 MB scoped limit
 
 
-def _lane_iota(B):
-    return jax.lax.broadcasted_iota(jnp.int32, (B, LVLP), 1)
+def _lvl_tile(nlev: int) -> int:
+    return -(-nlev // LVLP) * LVLP
+
+
+def _fit_block(block: int, bytes_per_col: int, min_block: int = 8) -> int:
+    """Largest power-of-two block <= ``block`` whose VMEM working set fits
+    the scoped budget (deep grids: nlay*G lanes per buffer grow past the
+    16 MB limit at the tuned block size)."""
+    while block > min_block and block * bytes_per_col > VMEM_BUDGET:
+        block //= 2
+    return block
+
+
+def _lane_iota(B, width):
+    return jax.lax.broadcasted_iota(jnp.int32, (B, width), 1)
 
 
 def _lw_kernel(nlay, G, tau_thres, D, w,
                tau_ref, lay_ref, lev_ref, emis_ref, ssrc_ref, sjac_ref,
                inc_ref, up_ref, dn_ref, jac_ref, trans_s, fact_s):
     B = up_ref.shape[0]
-    lane = _lane_iota(B)
+    lane = _lane_iota(B, up_ref.shape[1])
     one = tau_ref.dtype.type(1.0)
 
     def acc(vec, l):
@@ -106,8 +123,13 @@ def lw_sweep_broadband(tau, lay_src, lev_src, sfc_emis, sfc_src, sfc_src_jac,
     (ncol, nlay+1)."""
     ncol, nlay, G = tau.shape
     nlev = nlay + 1
-    assert nlev <= LVLP, nlev
+    lvlp = _lvl_tile(nlev)
     dtype = tau.dtype
+    # Working set per column: 3 layer-plane inputs + 2 scratches (5 x
+    # nlay*G... lev is nlev*G), 4 G-wide inputs, 3 lvlp-wide outputs.
+    itemsize = jnp.dtype(dtype).itemsize
+    block = _fit_block(block, (5 * nlay * G + nlev * G + 4 * G + 3 * lvlp)
+                       * itemsize)
 
     pad = (-ncol) % block
     if pad:
@@ -124,7 +146,7 @@ def lw_sweep_broadband(tau, lay_src, lev_src, sfc_emis, sfc_src, sfc_src_jac,
 
     bspec = lambda width: pl.BlockSpec((block, width), lambda b: (b, 0),
                                        memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((block, LVLP), lambda b: (b, 0),
+    out_spec = pl.BlockSpec((block, lvlp), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
     up, dn, jac = pl.pallas_call(
         functools.partial(_lw_kernel, nlay, G,
@@ -133,7 +155,7 @@ def lw_sweep_broadband(tau, lay_src, lev_src, sfc_emis, sfc_src, sfc_src_jac,
         in_specs=[bspec(nlay * G), bspec(nlay * G), bspec(nlev * G),
                   bspec(G), bspec(G), bspec(G), bspec(G)],
         out_specs=[out_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((n, LVLP), dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, lvlp), dtype)] * 3,
         scratch_shapes=[pltpu.VMEM((block, nlay * G), dtype)] * 2,
     )(tau2, lay2, lev2, sfc_emis, sfc_src, sfc_src_jac, inc_flux)
     return up[:ncol, :nlev], dn[:ncol, :nlev], jac[:ncol, :nlev]
@@ -145,7 +167,7 @@ def _sw_kernel(nlay, G, kmin, tmin,
                up_ref, dn_ref, dir_ref,
                rdif_s, tdif_s, sup_s, sdn_s, alb_s, src_s):
     B = up_ref.shape[0]
-    lane = _lane_iota(B)
+    lane = _lane_iota(B, up_ref.shape[1])
     dt = tau_ref.dtype
     one = dt.type(1.0)
 
@@ -245,10 +267,15 @@ def sw_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
     (diffuse+direct), dir each (ncol, nlay+1)."""
     ncol, nlay, G = tau.shape
     nlev = nlay + 1
-    assert nlev <= LVLP, nlev
+    lvlp = _lvl_tile(nlev)
     dtype = tau.dtype
     if inc_flux_dif is None:
         inc_flux_dif = jnp.zeros_like(inc_flux_dir)
+    # 3 layer-plane inputs + 4 layer + 2 level scratches, 5 G-wide inputs,
+    # 3 lvlp-wide outputs.
+    itemsize = jnp.dtype(dtype).itemsize
+    block = _fit_block(block, (7 * nlay * G + 2 * nlev * G + 5 * G
+                               + 3 * lvlp) * itemsize)
 
     pad = (-ncol) % block
     if pad:
@@ -266,7 +293,7 @@ def sw_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
 
     bspec = lambda width: pl.BlockSpec((block, width), lambda b: (b, 0),
                                        memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((block, LVLP), lambda b: (b, 0),
+    out_spec = pl.BlockSpec((block, lvlp), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
     lay_scr = pltpu.VMEM((block, nlay * G), dtype)
     lev_scr = pltpu.VMEM((block, nlev * G), dtype)
@@ -277,7 +304,7 @@ def sw_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
         grid=(n // block,),
         in_specs=[bspec(nlay * G)] * 3 + [bspec(1)] + [bspec(G)] * 4,
         out_specs=[out_spec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((n, LVLP), dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, lvlp), dtype)] * 3,
         scratch_shapes=[lay_scr] * 4 + [lev_scr] * 2,
     )(tau2, ssa2, g2, mu0.reshape(n, 1), sfc_alb_dir, sfc_alb_dif,
       inc_flux_dir, inc_flux_dif)
@@ -287,6 +314,11 @@ def sw_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
 
 
 def solvers_available(dtype, nlev: int) -> bool:
-    """Whether the fused broadband solver kernels can serve this shape."""
-    return (config.use_pallas() and jnp.dtype(dtype) == jnp.float32
-            and nlev <= LVLP)
+    """Whether the fused broadband solver kernels can serve this shape.
+
+    The level axis is no longer capped at 128: the output tile grows in
+    128-lane steps and the column block shrinks to fit VMEM.  The practical
+    ceiling is where even block=8 exceeds the scoped budget (~nlay*G lanes
+    > ~440k, i.e. nlay ~ 3400 at G=128 — far past any atmosphere)."""
+    del nlev
+    return config.use_pallas() and jnp.dtype(dtype) == jnp.float32

@@ -137,8 +137,12 @@ def measure(fn: Callable, args: Sequence, iters: int = 8,
     import numpy as np
 
     def _sync(out):
+        # Fetch ONE scalar via a device-side slice (bench.py methodology):
+        # np.asarray(leaf) would transfer the whole array every timed
+        # iteration and inflate absolute times for large outputs.
         leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf).ravel()[:1]
+        float(jax.device_get(leaf.ravel()[0])) if hasattr(leaf, "ravel") \
+            else float(leaf)
 
     times = []
     for i in range(warmup + iters):

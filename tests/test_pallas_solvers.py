@@ -106,6 +106,48 @@ def test_sw_2stream_with_diffuse_inc_and_padding():
     np.testing.assert_allclose(fb, np.asarray(fdir).sum(-1), rtol=3e-5, atol=1e-2)
 
 
+def test_lw_deep_grid_multi_tile():
+    """nlev > 128 (the reference's 256-layer RCEMIP regime): the flux-level
+    output tile grows to a second 128-lane tile and the column block
+    auto-shrinks to fit VMEM — no more fallback to the XLA path."""
+    tau, lay, lev, emis, ssrc, sjac, inc = _lw_inputs(ncol=8, nlay=140)
+    up, dn, jac = rte_lw.lw_solver_noscat(tau, lay, lev, emis, ssrc, sjac, inc)
+    with pltpu.force_tpu_interpret_mode():
+        fu, fd, fj = sk.lw_sweep_broadband(
+            tau, lay, lev, emis, ssrc, sjac, inc,
+            D=float(rte_lw.GAUSS_DS[0, 0]), w=float(rte_lw.GAUSS_WTS[0, 0]),
+            block=8)
+    np.testing.assert_allclose(fu, np.asarray(up).sum(-1), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(fd, np.asarray(dn).sum(-1), rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(fj, np.asarray(jac).sum(-1), rtol=2e-5, atol=1e-3)
+
+
+def test_sw_deep_grid_multi_tile():
+    tau, ssa, g, mu0, adir, adif, inc = _sw_inputs(ncol=8, nlay=140)
+    up, dn, fdir = rte_sw.sw_solver_2stream(tau, ssa, g, mu0, adir, adif, inc)
+    with pltpu.force_tpu_interpret_mode():
+        ub, db, fb = sk.sw_2stream_broadband(tau, ssa, g, mu0, adir, adif,
+                                             inc, block=8)
+    np.testing.assert_allclose(ub, np.asarray(up).sum(-1), rtol=3e-5, atol=1e-2)
+    np.testing.assert_allclose(db, np.asarray(dn).sum(-1), rtol=3e-5, atol=1e-2)
+    np.testing.assert_allclose(fb, np.asarray(fdir).sum(-1), rtol=3e-5, atol=1e-2)
+
+
+def test_fit_block_respects_vmem_budget():
+    """At the RCEMIP shape (nlay=256, G=128) the tuned block must shrink so
+    the working set stays under the scoped-VMEM budget; shallow grids keep
+    the tuned block unchanged."""
+    G, nlay, nlev = 128, 256, 257
+    lvlp = sk._lvl_tile(nlev)
+    assert lvlp == 384
+    per_col = (7 * nlay * G + 2 * nlev * G + 5 * G + 3 * lvlp) * 4
+    b = sk._fit_block(32, per_col)
+    assert b * per_col <= sk.VMEM_BUDGET and b >= 8
+    # Shallow grid: tuned block survives.
+    per_col_shallow = (7 * 72 * G + 2 * 73 * G + 5 * G + 3 * 128) * 4
+    assert sk._fit_block(32, per_col_shallow) == 32
+
+
 def test_broadband_wrappers_subchunk_wide_spectra(monkeypatch):
     """G > 128 spectral chunks run as 128-g-point sub-sweeps inside the
     broadband wrappers (the kernel's scoped-VMEM budget caps nlay*G on

@@ -242,6 +242,33 @@ def test_single_gpt(setup):
     assert abs(toa1 - expected) / expected < 1e-3, (toa1, expected)
 
 
+def test_single_gpt_bnd_fluxes(setup):
+    """Regression: --single-gpt + --output-bnd-fluxes must scatter into the
+    GLOBAL band axis (slice_gpt keeps global band indices in gpt2band but
+    shrinks the sliced kd's nbnd to 1, which used to zero every band > 0
+    and raise in the two-stream by-band path)."""
+    kd, clut, atm = setup
+    # Pick a g-point in the LAST band — the case that was silently zero.
+    gpt = kd.ngpt  # 1-based
+    band = int(np.asarray(kd.gpt2band)[gpt - 1])
+    assert band > 0
+    out = _solve(kd, clut, atm, single_gpt=gpt, twostream=True,
+                 output_bnd_fluxes=True, photons_per_pixel=16)
+    bnd = np.asarray(out.rt_bnd_flux_tod_dn)
+    assert bnd.shape[0] == kd.nbnd
+    # All flux lands in that g-point's band; other bands stay zero.
+    np.testing.assert_allclose(bnd[band], np.asarray(out.rt_flux_tod_dn),
+                               rtol=1e-6)
+    mask = np.ones(kd.nbnd, bool)
+    mask[band] = False
+    assert np.abs(bnd[mask]).max() == 0.0
+    sw_bnd = np.asarray(out.sw_bnd_flux_dn)
+    assert sw_bnd.shape[-1] == kd.nbnd
+    np.testing.assert_allclose(sw_bnd.sum(-1), np.asarray(out.sw_flux_dn),
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(sw_bnd[:, :, mask]).max() == 0.0
+
+
 def test_windowed_dispatch_matches_single(setup):
     """gpt_per_dispatch windows (one device dispatch per W g-points, the
     TPU-watchdog-safe mode) reproduce the single-dispatch scan exactly:
