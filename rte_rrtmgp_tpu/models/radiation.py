@@ -89,11 +89,17 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
     # remains available and tested for single-chunk callers.)
     emis_gpt_full = flux_ops.expand_bands_to_gpt(emis_sfc, kd.gpt2band)
     resolves = None
+    # Per-cell resolve pack (g-independent, built once): the Pallas passes
+    # resolve their per-g weight planes IN-KERNEL on the MXU instead of
+    # reading 8 XLA-built (N, G) planes from HBM per pass.
+    cellw = gas_ops.cellw_resolves(kd, interp)
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
-        tau, pfrac = gas_ops.tau_major_and_pfrac(kdc, interp, resolves, g0)
-        tau = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau)
+        tau, pfrac = gas_ops.tau_major_and_pfrac(kdc, interp, resolves, g0,
+                                                 cellw=cellw)
+        tau = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau,
+                                cellw=cellw)
         src = gas_ops.planck_source(kdc, interp, t_lay, t_lev, t_sfc,
                                     sfc_lay=nlay - 1, pfrac=pfrac)
         if with_clouds:
@@ -199,12 +205,14 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
     alb_dir_full = flux_ops.expand_bands_to_gpt(sfc_alb_dir, kd.gpt2band)
     alb_dif_full = flux_ops.expand_bands_to_gpt(sfc_alb_dif, kd.gpt2band)
     resolves = None
+    cellw = gas_ops.cellw_resolves(kd, interp)
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
         tau_abs, tau_ray = gas_ops.tau_major_and_rayleigh(
-            kdc, interp, col_gas, col_dry, resolves, g0)
-        tau_abs = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau_abs)
+            kdc, interp, col_gas, col_dry, resolves, g0, cellw=cellw)
+        tau_abs = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas,
+                                    tau_abs, cellw=cellw)
         tau, ssa, g = gas_ops.combine_abs_and_rayleigh(tau_abs, tau_ray)
         op = optics_ops.OpticalProps2str(tau=tau, ssa=ssa, g=g)
 

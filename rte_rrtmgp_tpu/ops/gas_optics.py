@@ -319,8 +319,20 @@ def _interp3d_rows_pallas(kd: KDist, table_rows, interp: Interp,
     return out.reshape(C, L, G)
 
 
-def tau_major(kd: KDist, interp: Interp):
+def tau_major(kd: KDist, interp: Interp, cellw=None, g0=0):
     """tau from major gases: (ncol, nlay, ngpt)."""
+    dtype = kd.kmajor_rows.dtype
+    if cellw is not None and config.use_pallas() and dtype == jnp.float32:
+        from .pallas import interp_cellw_multi
+
+        C, L = interp.tropo.shape
+        G = kd.kmajor_rows.shape[2]
+        M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
+        (tau,) = interp_cellw_multi(
+            [kd.kmajor_rows], [cellw.rows], cellw.V, M2, cellw.fp,
+            metas=(((0, 0, 1, 1), True, True),),
+            neta=kd.neta, **_cellw_opts())
+        return tau.reshape(C, L, G)
     return _interp3d_rows(kd, kd.kmajor_rows, interp, scale_by_colmix=True)
 
 
@@ -338,6 +350,64 @@ def _fused_inputs(kd: KDist, interp: Interp, masks, with_colmix: bool):
                           interp.tropo).reshape(N, fms[0].shape[1])
             for i in range(2))
     return rows, jes, fms, fp, cms
+
+
+class CellW:
+    """Per-cell resolve pack for the in-kernel weight-resolve Pallas mode
+    (``interp_cellw_multi``): built ONCE per solve, g-independent, shared
+    by every interp pass and every spectral chunk.
+
+    * ``V``  (N*8, 2F): per cell 8 tropo-folded flavor rows
+      [je0, je1, fm0..3, cm0, cm1] with row = concat(x*tf, x*(1-tf)),
+    * ``masks2`` (2F, ngpt) np: stacked flavor masks [m_tropo; m_upper] —
+      a per-chunk column slice becomes the kernel's static M2,
+    * ``rows`` (N, 4) int32 slab rows, ``fp`` (N,) pressure fraction.
+    """
+
+    __slots__ = ("V", "masks2", "rows", "fp")
+
+    def __init__(self, V, masks2, rows, fp):
+        self.V, self.masks2, self.rows, self.fp = V, masks2, rows, fp
+
+
+def cellw_enabled() -> bool:
+    import os
+
+    return os.environ.get("RTE_RRTMGP_PALLAS_CELLW", "1") not in (
+        "0", "false", "off")
+
+
+def cellw_resolves(kd: KDist, interp: Interp):
+    """Build the :class:`CellW` pack (None when the Pallas path or the
+    cellw mode is off).  Replaces the per-chunk (N, G) weight-plane builds
+    — the leading XLA-fusion + DMA cost of the step (PERF.md) — with one
+    small g-independent tensor resolved in-kernel on the MXU
+    (VERDICT r2 item 2; reference analog: the fused interpolation+tau
+    kernels of gas_optics_rrtmgp_kernels.cu:317-443 never materialize
+    per-g weight planes either)."""
+    dtype = kd.kmajor_rows.dtype
+    if not (config.use_pallas() and dtype == jnp.float32
+            and cellw_enabled()):
+        return None
+    C, L = interp.tropo.shape
+    N = C * L
+    F = kd.nflav
+    tf = interp.tropo.astype(dtype)[:, :, None]                # (C, L, 1)
+
+    def fold(x):   # (C, L, F) -> (C, L, 2F)
+        return jnp.concatenate([x * tf, x * (1.0 - tf)], axis=-1)
+
+    rows8 = [fold(interp.jeta0[:, :, 0:F].astype(dtype)),
+             fold(interp.jeta0[:, :, F:2 * F].astype(dtype))]
+    rows8 += [fold(interp.fminor[:, :, c * F:(c + 1) * F]) for c in range(4)]
+    rows8 += [fold(interp.col_mix[:, :, i * F:(i + 1) * F]) for i in range(2)]
+    V = jnp.stack(rows8, axis=2).reshape(N * 8, 2 * F)
+
+    masks = _flavor_masks(kd, np.float32)                      # np (2, F, G)
+    masks2 = np.concatenate([masks[0], masks[1]], axis=0)      # (2F, G)
+    rows = _slab_rows(kd, interp).reshape(N, 4).astype(jnp.int32)
+    fp = interp.fpress.reshape(N)
+    return CellW(V, masks2, rows, fp)
 
 
 def major_resolves(kd: KDist, interp: Interp):
@@ -363,7 +433,15 @@ def _sliced_resolves(kd_chunk, resolves, g0):
             None if cms is None else tuple(map(sl, cms)))
 
 
-def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0):
+def _cellw_opts():
+    from .pallas import kernel_opts
+
+    o = kernel_opts()
+    return dict(block=o["block"], unroll=o["unroll"])
+
+
+def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0,
+                        cellw=None):
     """Fused kmajor + planck-fraction interpolation.
 
     Both tables share the same 4-corner slab addressing and eta weights;
@@ -371,7 +449,9 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0):
     and weight-building cost of two calls).  Returns (tau_major, pfrac),
     each (ncol, nlay, ngpt).  Feed ``pfrac`` to :func:`planck_source`.
     ``resolves``/``g0``: full-spectrum weight planes from
-    :func:`major_resolves` and this chunk's g-point offset."""
+    :func:`major_resolves` and this chunk's g-point offset; ``cellw``:
+    the per-cell resolve pack from :func:`cellw_resolves` (preferred —
+    weight planes then never materialize in HBM)."""
     dtype = kd.kmajor_rows.dtype
     if config.use_pallas() and dtype == jnp.float32:
         import os
@@ -380,6 +460,17 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0):
 
         C, L = interp.tropo.shape
         G = kd.kmajor_rows.shape[2]
+        if cellw is not None:
+            from .pallas import interp_cellw_multi
+
+            M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
+            tau, pfrac = interp_cellw_multi(
+                [kd.kmajor_rows, kd.planck_rows],
+                [cellw.rows, cellw.rows], cellw.V, M2, cellw.fp,
+                metas=(((0, 0, 1, 1), True, True),
+                       ((0, 0, 1, 1), True, False)),
+                neta=kd.neta, **_cellw_opts())
+            return tau.reshape(C, L, G), pfrac.reshape(C, L, G)
         if resolves is not None:
             rows, jes, fms, fp, cms = _sliced_resolves(kd, resolves, g0)
         else:
@@ -412,10 +503,10 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0):
 
 
 def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
-                           resolves=None, g0=0):
+                           resolves=None, g0=0, cellw=None):
     """Fused kmajor + krayl interpolation (shared weights, one Pallas
-    pass).  Returns (tau_major, tau_rayleigh).  ``resolves``/``g0``: see
-    :func:`tau_major_and_pfrac`."""
+    pass).  Returns (tau_major, tau_rayleigh).  ``resolves``/``g0``/
+    ``cellw``: see :func:`tau_major_and_pfrac`."""
     dtype = kd.kmajor_rows.dtype
     if config.use_pallas() and dtype == jnp.float32:
 
@@ -424,14 +515,25 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
         C, L = interp.tropo.shape
         G = kd.kmajor_rows.shape[2]
         ntemp = kd.ntemp
+        it = np.arange(2, dtype=np.int32)[None, None, :]
+        rows_ray = ((interp.itropo01 * ntemp + interp.jtemp0)[:, :, None]
+                    + it).reshape(C * L, 2).astype(jnp.int32)
+        if cellw is not None:
+            from .pallas import interp_cellw_multi
+
+            M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
+            tau, kloc = interp_cellw_multi(
+                [kd.kmajor_rows, kd.krayl_rows],
+                [cellw.rows, rows_ray], cellw.V, M2, cellw.fp,
+                metas=(((0, 0, 1, 1), True, True), ((0, 1), False, False)),
+                neta=kd.neta, **_cellw_opts())
+            fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
+            return tau.reshape(C, L, G), kloc.reshape(C, L, G) * fac
         if resolves is not None:
             rows, jes, fms, fp, cms = _sliced_resolves(kd, resolves, g0)
         else:
             masks = _flavor_masks(kd, dtype)
             rows, jes, fms, fp, cms = _fused_inputs(kd, interp, masks, True)
-        it = np.arange(2, dtype=np.int32)[None, None, :]
-        rows_ray = ((interp.itropo01 * ntemp + interp.jtemp0)[:, :, None]
-                    + it).reshape(C * L, 2).astype(jnp.int32)
         tau, kloc = interp_rows_multi(
             [kd.kmajor_rows, kd.krayl_rows], [rows, rows_ray], jes, fms,
             [fp, None], [cms, None],
@@ -443,7 +545,8 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
             tau_rayleigh(kd, interp, col_gas, col_dry))
 
 
-def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
+def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau,
+              cellw=None):
     """Minor-gas optical depth, both atmospheres; adds into ``tau``.
 
     Trace-time unrolled over the static MinorSpec tuples (the TPU-friendly
@@ -534,29 +637,47 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
             Mf[spec.flavor, off:off + ng] = 1.0
             Ms[k_s, off:off + ng] = 1.0
             off += ng
-        Mf = jnp.asarray(Mf, dtype)
-        Ms = jnp.asarray(Ms, dtype)
-
-        def flav_plane(x_clF):   # (C, L, F) -> (N, CT)
-            return jnp.matmul(x_clF, Mf, precision="highest").reshape(N, CT)
-
-        # One-hot matmuls of exact small ints are exact -> keep f32
-        # (the kernel compares eta indices in the table dtype).
-        jes2 = tuple(
-            flav_plane(interp.jeta0[:, :, i * F:(i + 1) * F].astype(dtype))
-            for i in range(2))
-        fms4 = tuple(flav_plane(interp.fminor[:, :, c * F:(c + 1) * F])
-                     for c in range(4))
-        scal_plane = jnp.matmul(
-            jnp.stack(scal_cols, axis=2), Ms,
-            precision="highest").reshape(N, CT)
-
         it = np.arange(2, dtype=np.int32)[None, None, :]
         rows = (jt[:, :, None] + it).reshape(N, 2)
-        ltau_all = interp_rows_pallas(
-            tbl, rows.astype(jnp.int32), jes2, fms4,
-            neta=kd.neta, corner_itemp=(0, 1), **kernel_opts())
-        upd_all = (ltau_all * scal_plane).reshape(C, L, CT)
+        if cellw is not None:
+            # In-kernel resolve: the SAME per-cell V works with the
+            # contributor-placement mask duplicated over both tropo halves
+            # (x*tf + x*(1-tf) = x exactly, tf in {0, 1}); the per-interval
+            # scaling folds in through the (sc, Msc) side matmul — neither
+            # the (N, CT) weight planes nor the scaling plane ever touch
+            # HBM.
+            from .pallas import interp_cellw_multi
+
+            M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
+            sc = jnp.stack(scal_cols, axis=2).reshape(N, len(ordered))
+            (upd_flat,) = interp_cellw_multi(
+                [tbl], [rows.astype(jnp.int32)], cellw.V, M2m, None,
+                metas=(((0, 1), False, False),), neta=kd.neta,
+                sc=sc, msc=jnp.asarray(Ms, dtype), **_cellw_opts())
+            upd_all = upd_flat.reshape(C, L, CT)
+        else:
+            Mf = jnp.asarray(Mf, dtype)
+            Ms = jnp.asarray(Ms, dtype)
+
+            def flav_plane(x_clF):   # (C, L, F) -> (N, CT)
+                return jnp.matmul(x_clF, Mf,
+                                  precision="highest").reshape(N, CT)
+
+            # One-hot matmuls of exact small ints are exact -> keep f32
+            # (the kernel compares eta indices in the table dtype).
+            jes2 = tuple(
+                flav_plane(interp.jeta0[:, :, i * F:(i + 1) * F].astype(dtype))
+                for i in range(2))
+            fms4 = tuple(flav_plane(interp.fminor[:, :, c * F:(c + 1) * F])
+                         for c in range(4))
+            scal_plane = jnp.matmul(
+                jnp.stack(scal_cols, axis=2), Ms,
+                precision="highest").reshape(N, CT)
+
+            ltau_all = interp_rows_pallas(
+                tbl, rows.astype(jnp.int32), jes2, fms4,
+                neta=kd.neta, corner_itemp=(0, 1), **kernel_opts())
+            upd_all = (ltau_all * scal_plane).reshape(C, L, CT)
         off = 0
         for spec in ordered:
             ng = spec.gpt_end - spec.gpt_start
@@ -602,7 +723,8 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau):
     return tau
 
 
-def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
+def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry, cellw=None,
+                 g0=0):
     """Rayleigh scattering optical depth (compute_tau_rayleigh_kernel
     :674-718): 2-row gathers on krayl_rows (itropo*ntemp + jtemp rows)."""
     dtype = kd.krayl_rows.dtype
@@ -623,6 +745,15 @@ def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry):
         C, L = tropo.shape
         N = C * L
         G = kd.krayl_rows.shape[2]
+        if cellw is not None:
+            from .pallas import interp_cellw_multi
+
+            M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
+            (kloc,) = interp_cellw_multi(
+                [kd.krayl_rows], [rows.reshape(N, 2).astype(jnp.int32)],
+                cellw.V, M2, None, metas=(((0, 1), False, False),),
+                neta=neta, **_cellw_opts())
+            return kloc.reshape(C, L, G) * fac
         jes, fms = _kernel_resolves(kd, interp, masks)
         kloc = interp_rows_pallas(
             kd.krayl_rows, rows.reshape(N, 2).astype(jnp.int32),

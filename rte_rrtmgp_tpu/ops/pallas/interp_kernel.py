@@ -365,6 +365,197 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
     jax.lax.fori_loop(0, B // unroll, body, 0)
 
 
+CELL_ROWS = 8  # per-cell resolve rows in V: je0, je1, fm0..fm3, cm0, cm1
+
+
+def _kernel_cellw(metas, unroll, has_sc, rows_ref, *refs):
+    """Cell-resolve variant: the per-g-point weight planes are computed
+    IN-KERNEL from a g-independent per-cell resolve tensor instead of
+    arriving as 8 precomputed (N, G) HBM planes.
+
+    ``V_ref`` holds ``CELL_ROWS`` rows per cell — tropo-folded per-flavor
+    vectors [je0, je1, fm0..3, cm0, cm1], each ``concat(x*tf, x*(1-tf))``
+    over the (padded) 2*nflav axis — and ``M2_ref`` is the static stacked
+    flavor mask (P, G).  One MXU matmul per ``unroll`` cells
+    ((unroll*8, P) @ (P, G), precision HIGHEST so fm weights stay exact
+    f32; the je/tropo rows are exact by the one-nonzero-product argument)
+    replaces reading 8 G-wide plane rows per cell from HBM-built planes —
+    the XLA plane-build fusions and their HBM round-trip disappear from
+    the step (VERDICT r2 item 2).
+
+    Optional ``sc_ref``/``msc_ref`` (has_sc): a per-cell scaling vector
+    (S,) expanded through a second static placement matrix (S, G),
+    multiplied into the op outputs — the minor-gas pass's per-interval
+    scaling, folded in-kernel."""
+    any_fp = any(m[1] for m in metas)
+    k = 0
+    fp_ref = None
+    if any_fp:
+        fp_ref = refs[0]
+        k = 1
+    V_ref = refs[k]
+    M2_ref = refs[k + 1]
+    k += 2
+    sc_ref = msc_ref = None
+    if has_sc:
+        sc_ref, msc_ref = refs[k:k + 2]
+        k += 2
+    tables = refs[k:k + len(metas)]
+    outs = refs[k + len(metas):]
+    B = outs[0].shape[0]
+    G = outs[0].shape[1]
+    dtype = outs[0].dtype
+    e_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (ETA_STRIDE, G), 0).astype(dtype)
+    hi = jax.lax.Precision.HIGHEST
+
+    def cell(b, res, res_s):
+        fp = fp_ref[b, 0] if any_fp else None
+        w_i = [None, None]
+
+        def weights(i):
+            if w_i[i] is None:
+                je = res[i:i + 1, :]
+                sel0 = (e_iota == je).astype(dtype)
+                sel1 = (e_iota == je + 1).astype(dtype)
+                w_i[i] = (res[2 + 2 * i:3 + 2 * i, :] * sel0
+                          + res[3 + 2 * i:4 + 2 * i, :] * sel1)
+            return w_i[i]
+
+        col = 0
+        for iop, m in enumerate(metas):
+            corner_itemp, has_fp, has_cm = m[:3]
+            nc = len(corner_itemp)
+            acc = jnp.zeros((1, G), dtype)
+            if has_fp:
+                for i in (0, 1):
+                    r0 = rows_ref[b, col + 2 * i] * ETA_STRIDE
+                    r1 = rows_ref[b, col + 2 * i + 1] * ETA_STRIDE
+                    slab = ((1.0 - fp) * tables[iop][pl.ds(r0, ETA_STRIDE), :]
+                            + fp * tables[iop][pl.ds(r1, ETA_STRIDE), :])
+                    pair = jnp.sum(weights(i) * slab, axis=0, keepdims=True)
+                    if has_cm:
+                        pair = pair * res[6 + i:7 + i, :]
+                    acc = acc + pair
+            else:
+                for c, i in enumerate(corner_itemp):
+                    r = rows_ref[b, col + c] * ETA_STRIDE
+                    pair = jnp.sum(
+                        weights(i) * tables[iop][pl.ds(r, ETA_STRIDE), :],
+                        axis=0, keepdims=True)
+                    if has_cm:
+                        pair = pair * res[6 + i:7 + i, :]
+                    acc = acc + pair
+            if has_sc:
+                acc = acc * res_s
+            outs[iop][b, :] = acc[0]
+            col += nc
+
+    def body(gi, _):
+        b0 = gi * unroll
+        Vb = V_ref[pl.ds(b0 * CELL_ROWS, unroll * CELL_ROWS), :]
+        res = jax.lax.dot_general(
+            Vb, M2_ref[...], (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=dtype)
+        res_s = None
+        if has_sc:
+            res_s = jax.lax.dot_general(
+                sc_ref[pl.ds(b0, unroll), :], msc_ref[...],
+                (((1,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=dtype)
+        for u in range(unroll):
+            cell(b0 + u,
+                 res[u * CELL_ROWS:(u + 1) * CELL_ROWS, :],
+                 res_s[u:u + 1, :] if has_sc else None)
+        return 0
+
+    jax.lax.fori_loop(0, B // unroll, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("metas", "neta", "block",
+                                             "unroll"))
+def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
+                       neta: int, block: int = 256, unroll: int = 4,
+                       sc=None, msc=None):
+    """Multi-table interpolation with IN-KERNEL weight-plane resolves.
+
+    Same op semantics as :func:`interp_rows_multi`, but instead of 8
+    precomputed (N, G) planes the call takes:
+
+    * ``V``   (N*CELL_ROWS, P): per-cell resolve rows (je0, je1, fm0..3,
+      cm0, cm1), each a tropo-folded flavor vector — g-independent, built
+      ONCE per solve (``gas_optics.cell_resolves``) and shared across all
+      spectral chunks and all interp passes,
+    * ``M2``  (P, G): static stacked flavor masks for THIS chunk's
+      g-points (a cheap column slice of the full-spectrum matrix),
+    * ``fp``  (N,) pressure fraction or None,
+    * ``sc``/``msc``: optional per-cell scaling vector (N, S) + placement
+      matrix (S, G), multiplied into every op output (minor-gas pass).
+
+    Returns a list of (N, G) outputs."""
+    N = rows_list[0].shape[0]
+    G = M2.shape[1]
+    dtype = tables[0].dtype
+    any_fp = any(m[1] for m in metas)
+    assert all(len(m) <= 3 or not m[3] for m in metas), \
+        "cellw mode does not support dup2 lane-merged tables"
+
+    tbls = []
+    for t in tables:
+        assert t.shape[1] == neta and t.shape[2] == G, (t.shape, neta, G)
+        tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
+        tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, G))
+
+    rows = jnp.concatenate(rows_list, axis=1)
+    P = V.shape[1]
+    pad = (-N) % block
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        V = jnp.pad(V, ((0, pad * CELL_ROWS), (0, 0)))
+        if fp is not None:
+            fp = jnp.pad(fp, ((0, pad),))
+        if sc is not None:
+            sc = jnp.pad(sc, ((0, pad), (0, 0)))
+    n_pad = N + pad
+
+    while block % unroll:
+        unroll -= 1
+    operands = [rows]
+    specs = [pl.BlockSpec((block, rows.shape[1]), lambda ib: (ib, 0),
+                          memory_space=pltpu.SMEM)]
+    if any_fp:
+        operands.append(fp.reshape(-1, 1))
+        specs.append(pl.BlockSpec((block, 1), lambda ib: (ib, 0),
+                                  memory_space=pltpu.SMEM))
+    operands.append(V)
+    specs.append(pl.BlockSpec((block * CELL_ROWS, P), lambda ib: (ib, 0),
+                              memory_space=pltpu.VMEM))
+    operands.append(M2)
+    specs.append(pl.BlockSpec(M2.shape, lambda ib: (0, 0),
+                              memory_space=pltpu.VMEM))
+    if sc is not None:
+        operands.append(sc)
+        specs.append(pl.BlockSpec((block, sc.shape[1]), lambda ib: (ib, 0),
+                                  memory_space=pltpu.VMEM))
+        operands.append(msc)
+        specs.append(pl.BlockSpec(msc.shape, lambda ib: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    for t in tbls:
+        operands.append(t)
+        specs.append(pl.BlockSpec(t.shape, lambda ib: (0, 0),
+                                  memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel_cellw, metas, unroll, sc is not None),
+        grid=(n_pad // block,),
+        in_specs=specs,
+        out_specs=[pl.BlockSpec((block, G), lambda ib: (ib, 0),
+                                memory_space=pltpu.VMEM)] * len(metas),
+        out_shape=[jax.ShapeDtypeStruct((n_pad, G), dtype)] * len(metas),
+    )(*operands)
+    return [o[:N] if pad else o for o in outs]
+
+
 def interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, **kw):
     """Fused multi-table interpolation: one kernel pass over the cells
     serving several (table, corners) ops that share the flavor-resolved

@@ -304,6 +304,96 @@ def test_hoisted_resolves_match_per_chunk(monkeypatch):
         np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-6)
 
 
+def test_cellw_resolves_match_legacy_planes(monkeypatch):
+    """In-kernel weight-plane resolve mode (cellw): the fused entries,
+    tau_minor and standalone tau_rayleigh give the same results as the
+    legacy precomputed-plane path, including chunked calls with a g-point
+    offset."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from rte_rrtmgp_tpu.ops import gas_optics as go
+    from rte_rrtmgp_tpu import config as cfg
+
+    monkeypatch.setenv("RTE_RRTMGP_PALLAS", "1")
+    assert cfg.use_pallas()
+    for lw in (True, False):
+        kd = small_kdist(longwave=lw)
+        kd = jax.tree.map(lambda a: a.astype(np.float32)
+                          if hasattr(a, "dtype") and a.dtype.kind == "f"
+                          else a, kd)
+        atm = small_atmos(ncol=3, nlay=5, seed=5)
+        vmr, col_dry = atmos_inputs(kd, atm)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        col_gas = go.build_col_gas(f32(vmr), f32(col_dry))
+        p, t = f32(atm["p_lay"]), f32(atm["t_lay"])
+        interp = go.interpolation(kd, p, t, col_gas)
+        with pltpu.force_tpu_interpret_mode():
+            cw = go.cellw_resolves(kd, interp)
+            assert cw is not None
+            g0 = kd.ngpt // 2
+            kdc = kd.slice_gpt(g0, kd.ngpt)
+            if lw:
+                a1, b1 = go.tau_major_and_pfrac(kdc, interp)
+                a2, b2 = go.tau_major_and_pfrac(kdc, interp, g0=g0, cellw=cw)
+            else:
+                a1, b1 = go.tau_major_and_rayleigh(kdc, interp, col_gas,
+                                                   col_dry)
+                a2, b2 = go.tau_major_and_rayleigh(kdc, interp, col_gas,
+                                                   col_dry, g0=g0, cellw=cw)
+                r1 = go.tau_rayleigh(kdc, interp, col_gas, f32(col_dry))
+                r2 = go.tau_rayleigh(kdc, interp, col_gas, f32(col_dry),
+                                     cellw=cw, g0=g0)
+                np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                                           rtol=2e-6, atol=1e-30)
+            tau0 = jnp.zeros((3, 5, kdc.ngpt), jnp.float32)
+            m1 = go.tau_minor(kdc, interp, p, t, col_gas, tau0)
+            m2 = go.tau_minor(kdc, interp, p, t, col_gas, tau0, cellw=cw)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-6, atol=1e-30)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=2e-6, atol=1e-30)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   rtol=2e-6, atol=1e-30)
+
+
+def test_cellw_standalone_tau_major(monkeypatch):
+    """tau_major(cellw=...) == the XLA row-gather path."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from rte_rrtmgp_tpu.ops import gas_optics as go
+    from rte_rrtmgp_tpu import config as cfg
+
+    kd = small_kdist(longwave=True)
+    kd = jax.tree.map(lambda a: a.astype(np.float32)
+                      if hasattr(a, "dtype") and a.dtype.kind == "f" else a,
+                      kd)
+    atm = small_atmos(ncol=4, nlay=6, seed=6)
+    vmr, col_dry = atmos_inputs(kd, atm)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    col_gas = go.build_col_gas(f32(vmr), f32(col_dry))
+    interp = go.interpolation(kd, f32(atm["p_lay"]), f32(atm["t_lay"]),
+                              col_gas)
+    tau_xla = go.tau_major(kd, interp)
+
+    monkeypatch.setenv("RTE_RRTMGP_PALLAS", "1")
+    assert cfg.use_pallas()
+    with pltpu.force_tpu_interpret_mode():
+        cw = go.cellw_resolves(kd, interp)
+        tau_cw = go.tau_major(kd, interp, cellw=cw)
+    np.testing.assert_allclose(np.asarray(tau_cw), np.asarray(tau_xla),
+                               rtol=3e-6, atol=1e-12)
+
+
 def test_dup2_lane_merged_pair_matches_singles():
     """A dup2 op (lane-concatenated table pair sharing rows/weights/fp,
     col_mix folded into the first half) returns exactly the two
