@@ -49,9 +49,12 @@ def main(argv=None) -> int:
                    help="sun-transmission estimator: unbiased stochastic "
                         "walk (reference-exact) or the deterministic "
                         "tilted-field fast preview")
-    p.add_argument("--steps-per-dispatch", type=int, default=4,
+    p.add_argument("--steps-per-dispatch", default="auto",
+                   type=lambda s: s if s in ("auto", "off") else int(s),
                    help="spectral steps per device dispatch (long fused "
-                        "renders trip the TPU execution watchdog)")
+                        "renders trip the TPU execution watchdog). 'auto' "
+                        "(default) sizes windows from a measured window "
+                        "time; 'off' = one dispatch; or an integer")
     p.add_argument("--spectral-mode", choices=("scan", "lanes"),
                    default="scan",
                    help="per-dispatch spectral execution: sequential scan "
@@ -65,6 +68,8 @@ def main(argv=None) -> int:
     p.add_argument("--cloud-sw", default="cloud_coefficients_sw.nc")
     p.add_argument("--aerosol", default="aerosol_optics.nc")
     args = p.parse_args(argv)
+    if args.steps_per_dispatch == "off":
+        args.steps_per_dispatch = None
 
     status.print_message("Reading atmospheric input data from NetCDF.")
     inp = NcReader(args.input)

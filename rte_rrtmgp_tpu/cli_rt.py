@@ -50,9 +50,12 @@ def main(argv=None) -> int:
     p.add_argument("--cloud-mie", action="store_true",
                    help="sample cloud scattering from Mie phase LUTs")
     p.add_argument("--mie-file", default="mie_lut_broadband.nc")
-    p.add_argument("--gpt-per-dispatch", type=int, default=None,
+    p.add_argument("--gpt-per-dispatch", default="auto",
+                   type=lambda s: s if s in ("auto", "off") else int(s),
                    help="Monte-Carlo g-points per device dispatch (bounds "
-                        "single-program runtime below the TPU watchdog)")
+                        "single-program runtime below the TPU watchdog). "
+                        "'auto' (default) sizes windows from a measured "
+                        "window time; 'off' = one dispatch; or an integer")
     p.add_argument("--spectral-mode", choices=("scan", "lanes"),
                    default="scan",
                    help="per-dispatch spectral execution: sequential scan "
@@ -72,6 +75,8 @@ def main(argv=None) -> int:
     p.add_argument("--aerosol", default="aerosol_optics.nc")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.gpt_per_dispatch == "off":
+        args.gpt_per_dispatch = None
 
     status.print_message("Reading atmospheric input data from NetCDF.")
     inp = NcReader(args.input)

@@ -210,11 +210,11 @@ class RadiationSolverBW:
         # last chunk is padded with zero-weight steps (toa_factor = 0
         # contributes exactly nothing).
         n_steps = len(igpt_arr)
-        spd = min(steps_per_dispatch or n_steps, n_steps)
-        acc = None
-        for s0 in range(0, n_steps, spd):
-            sl = slice(s0, s0 + spd)
-            pad = spd - len(igpt_arr[sl])
+        acc_box = [None]
+
+        def run_window(s0, w):
+            sl = slice(s0, s0 + w)
+            pad = w - len(igpt_arr[sl])
             p1 = lambda a: np.pad(a[sl], [(0, pad)] + [(0, 0)] * (a.ndim - 1))
             part = _render_impl(
                 kd, jax.random.fold_in(key, 1000003 * s0), gas_tau, gas_ssa,
@@ -230,9 +230,24 @@ class RadiationSolverBW:
                 kn_grid=tuple(kn_grid), photons_per_pixel=photons_per_pixel,
                 mode=mode, bg_column=bg_column, nee_mode=nee_mode,
                 spectral_mode=spectral_mode)
-            acc = part if acc is None else tuple(a + b
-                                                 for a, b in zip(acc, part))
-        xyz_img, radiance, total_src = acc
+            acc_box[0] = part if acc_box[0] is None else tuple(
+                a + b for a, b in zip(acc_box[0], part))
+            # Block on the device work (fetch one scalar) so the adaptive
+            # sizer times real execution, not dispatch.
+            float(jax.device_get(acc_box[0][1].ravel()[0]))
+
+        if steps_per_dispatch == "auto":
+            # Measured window sizing (utils/dispatch): clears the ~1 min
+            # TPU execution watchdog with no hand-set knob.
+            from ..utils.dispatch import run_windowed
+
+            run_windowed(n_steps, run_window, w0=2,
+                         max_w=16 if spectral_mode == "lanes" else None)
+        else:
+            spd = min(steps_per_dispatch or n_steps, n_steps)
+            for s0 in range(0, n_steps, spd):
+                run_window(s0, spd)
+        xyz_img, radiance, total_src = acc_box[0]
         if mode == "image":
             # normalize_xyz_camera (Raytracer_bw.cu:339-357)
             return {"XYZ": xyz_img / jnp.maximum(total_src, 1e-30),

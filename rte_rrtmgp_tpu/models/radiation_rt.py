@@ -461,9 +461,6 @@ class RadiationSolverRT:
         # Windowed MC dispatches: the two-stream pass runs once by itself;
         # then each window of W g-points is one device dispatch chaining
         # the ray-traced accumulators through acc_in.
-        W = min(gpt_per_dispatch, kd.ngpt)
-        while kd.ngpt % W:
-            W -= 1
         ts = _solve_rt_impl(*args, with_twostream=twostream,
                             with_raytracing=False, **kw) \
             if twostream else None
@@ -472,11 +469,35 @@ class RadiationSolverRT:
         planes = _solve_rt_impl(*args, with_twostream=False,
                                 with_raytracing=True,
                                 return_gas_planes=True, **kw)
-        acc = None
-        for s0 in range(0, kd.ngpt, W):
-            acc = _solve_rt_impl(*args, jnp.int32(s0), acc, planes,
-                                 with_twostream=False, with_raytracing=True,
-                                 scan_width=W, **kw)
+        acc_box = [None]
+
+        def run_window(s0, W):
+            acc_box[0] = _solve_rt_impl(
+                *args, jnp.int32(s0), acc_box[0], planes,
+                with_twostream=False, with_raytracing=True,
+                scan_width=W, **kw)
+            # Block on real device work (fetch one scalar): the adaptive
+            # sizer times this callback.
+            float(jax.device_get(acc_box[0][0].ravel()[0]))
+
+        if gpt_per_dispatch == "auto":
+            # Size windows from the measured per-window time (the hand-set
+            # constant either wastes dispatches or trips the ~1 min TPU
+            # execution watchdog; reference analog: per-g-point launches,
+            # Radiation_solver_rt.cu:760).
+            from ..utils.dispatch import run_windowed
+
+            # lanes mode holds W g-points of photon state + 3D fields at
+            # once: cap the growth so memory stays bounded.
+            run_windowed(kd.ngpt, run_window, w0=2,
+                         max_w=16 if spectral_mode == "lanes" else None)
+        else:
+            W = min(gpt_per_dispatch, kd.ngpt)
+            while kd.ngpt % W:
+                W -= 1
+            for s0 in range(0, kd.ngpt, W):
+                run_window(s0, W)
+        acc = acc_box[0]
         bnd_rt = acc[7:] if output_bnd_fluxes else (None,) * 5
         ts_f = ((ts.sw_flux_up, ts.sw_flux_dn, ts.sw_flux_dn_dir)
                 if ts is not None else (None, None, None))

@@ -371,10 +371,21 @@ class CellW:
 
 
 def cellw_enabled() -> bool:
+    """Env > persisted autotune winner > default on."""
     import os
 
-    return os.environ.get("RTE_RRTMGP_PALLAS_CELLW", "1") not in (
-        "0", "false", "off")
+    env = os.environ.get("RTE_RRTMGP_PALLAS_CELLW")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        from ..utils import tuner
+
+        t = tuner.best_kernel_opts() or {}
+        if t.get("cellw") is not None:
+            return bool(t["cellw"])
+    except Exception:
+        pass
+    return True
 
 
 def cellw_resolves(kd: KDist, interp: Interp):

@@ -290,6 +290,21 @@ def test_windowed_dispatch_matches_single(setup):
         np.asarray(win.rt_flux_sfc_dir), rtol=1e-5, atol=1e-5)
 
 
+def test_auto_dispatch_matches_single(setup):
+    """gpt_per_dispatch='auto' (measured window sizing) reproduces the
+    single-dispatch result exactly — windows only repartition the same
+    per-g-point RNG streams and additions."""
+    kd, clut, atm = setup
+    one = _solve(kd, clut, atm, photons_per_pixel=16)
+    auto = _solve(kd, clut, atm, photons_per_pixel=16,
+                  gpt_per_dispatch="auto")
+    for name in ("rt_flux_tod_dn", "rt_flux_sfc_dir", "rt_flux_sfc_dif",
+                 "rt_flux_abs_dir"):
+        np.testing.assert_allclose(np.asarray(getattr(one, name)),
+                                   np.asarray(getattr(auto, name)),
+                                   rtol=2e-6, atol=1e-6, err_msg=name)
+
+
 def test_spectral_lanes_matches_scan(setup):
     """The vmap-merged spectral-lane mode reproduces the sequential g-point
     scan (identical per-g RNG streams; differs only by accumulation order),

@@ -13,6 +13,7 @@ Usage: python tools/bench_rt.py [nx] [nz] [ppp] [ngpt]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -62,14 +63,26 @@ def main():
     grid_d = (500.0, 100.0, 100.0)
     kn = (max(2, NZ // 16), max(2, NX // 16), max(2, NX // 16))
 
+    mode = os.environ.get("BENCH_RT_MODE", "scan")
+
+    def one_gpt(key, kx, g):
+        out = rt.trace_rays(
+            jax.random.fold_in(key, g), kx, *fields[1:], None, alb,
+            kn, grid_d, jnp.float32(1361.0 * 0.8 / NGPT),
+            jnp.float32(0.0), sun, photons_per_pixel=PPP,
+            independent_column=False)
+        return out.flux_sfc_dir + out.flux_sfc_dif
+
     def run(key, kx):
+        if mode == "lanes":
+            # Spectral-lane merge (the drivers' --spectral-mode lanes): all
+            # NGPT g-points trace concurrently in ONE batched photon loop —
+            # NGPT x the vector width, iteration count = the max walk
+            # length over the window instead of the sum.
+            return jax.vmap(lambda g: one_gpt(key, kx, g))(
+                jnp.arange(NGPT)).sum(axis=0)
         def gpt_body(acc, g):
-            out = rt.trace_rays(
-                jax.random.fold_in(key, g), kx, *fields[1:], None, alb,
-                kn, grid_d, jnp.float32(1361.0 * 0.8 / NGPT),
-                jnp.float32(0.0), sun, photons_per_pixel=PPP,
-                independent_column=False)
-            return acc + out.flux_sfc_dir + out.flux_sfc_dif, None
+            return acc + one_gpt(key, kx, g), None
         acc, _ = jax.lax.scan(gpt_body, jnp.zeros((ny, nx), jnp.float32),
                               jnp.arange(NGPT))
         return acc
@@ -94,7 +107,7 @@ def main():
     n_photons = ny * nx * PPP * NGPT
     print(json.dumps({
         "metric": f"MC forward tracer photons/s ({NX}x{NX}x{NZ}, "
-                  f"{NGPT} gpt, {PPP} ppp)",
+                  f"{NGPT} gpt, {PPP} ppp, {mode})",
         "value": round(n_photons / best, 1),
         "unit": "photons/s",
         "ms_per_gpt": round(best / NGPT * 1e3, 2),

@@ -1,32 +1,50 @@
 #!/bin/bash
-# Measurement queue for the optimizations implemented while the TPU tunnel
-# was unavailable (2026-08-17; see PERF.md "awaiting on-hardware numbers").
-# Run each block separately on the real chip; do NOT run concurrently with
-# other device work (stray dispatches contaminate timings badly).
+# Round-3 measurement queue: every optimization implemented while the TPU
+# tunnel was down, in priority order.  Run each block separately on the
+# real chip; do NOT run concurrently with other device work (stray
+# dispatches contaminate timings badly — see PERF.md).
 #
 # Probe first:  timeout 90 python -c "import jax; jax.devices()"  (143 = down)
 set -x
 
-# 1) Headline step after one-hot LUT rewrites (expect < 45.4 ms/step).
+# 1) Headline step: cellw (in-kernel weight-plane resolves, NEW default)
+#    vs the legacy plane-fed kernels, plus the still-unmeasured r2 one-hot
+#    LUT rewrites.  Expect cellw to cut the 15.5 ms fusion block + ~9 ms
+#    exposed DMA (target < 25 ms/step, VERDICT r2 item 2).
 BENCH_RT=0 timeout 1800 python -u bench.py
+BENCH_RT=0 RTE_RRTMGP_PALLAS_CELLW=0 timeout 1800 python -u bench.py
 
-# 2) Tables-as-jit-arguments A/B (also compare compile wall time cold).
+# 2) Tables-as-jit-arguments A/B (r2 carry-over; also compare cold compile).
 BENCH_RT=0 BENCH_TABLES_ARGS=1 timeout 1800 python -u bench.py
 
-# 3) bw renderer: spectral lanes vs scan (expect lanes to win while the
-#    per-step loop is iteration-latency-bound at sub-32k rays).
-BENCH_BW_SPECTRAL=scan  timeout 1800 python -u tools/bench_bw.py
-BENCH_BW_SPECTRAL=lanes timeout 1800 python -u tools/bench_bw.py
-BENCH_BW_SPECTRAL=lanes BENCH_BW_SPD=14 timeout 1800 python -u tools/bench_bw.py
+# 3) Reference flagship vertical extent: 64x64 cols x 256 layers through
+#    the de-capped fused solvers (VERDICT r2 item 3).  Record ms/step at
+#    the true RCEMIP shape.
+BENCH_RT=0 BENCH_NCOL=4096 BENCH_NLAY=256 timeout 2400 python -u bench.py
+BENCH_RT=0 BENCH_NCOL=4096 BENCH_NLAY=256 RTE_RRTMGP_PALLAS_CELLW=0 \
+    timeout 2400 python -u bench.py
 
-# 4) Cross-platform re-validation (now includes the aerosky one-hot leg).
+# 4) MC forward tracer: scan vs lanes at the reference 64x64x256 domain
+#    (VERDICT r2 item 4 — target >= 1M photons/s, was 78k).
+BENCH_RT_MODE=scan  timeout 1800 python -u tools/bench_rt.py 64 256 32 2
+BENCH_RT_MODE=lanes timeout 1800 python -u tools/bench_rt.py 64 256 32 2
+BENCH_RT_MODE=lanes timeout 1800 python -u tools/bench_rt.py 64 256 32 8
+BENCH_RT_MODE=lanes timeout 1800 python -u tools/bench_rt.py 64 64 32 8
+
+# 5) bw renderer at 256x256 px (VERDICT r2 item 5 — target >= 10x the
+#    6.6k rays/s measured at 64x64): scan vs lanes.
+BENCH_BW_SPECTRAL=scan  timeout 2400 python -u tools/bench_bw.py 256 8
+BENCH_BW_SPECTRAL=lanes timeout 2400 python -u tools/bench_bw.py 256 8
+
+# 6) Fresh autotune sweep (now includes the cellw knob) + refresh
+#    tuning/tuned_defaults.json (VERDICT r2 item 6).
+timeout 5400 python -u tuning/tune_radiation.py
+
+# 7) Cross-platform re-validation.
 timeout 3600 python -u tools/crosscheck.py
 
-# 5) Step HLO copy forensics (layout-change copies behind the ~9 ms
-#    exposed-DMA row of the trace decomposition).
+# 8) Step HLO copy forensics + device-side stage decomposition after the
+#    cellw switch (expect the weight-plane fusion block gone).
 timeout 1800 python -u tools/dump_hlo.py /tmp/step_hlo_tpu.txt
 grep -c "copy(" /tmp/step_hlo_tpu.txt
-grep -o "copy([^)]*" /tmp/step_hlo_tpu.txt | sort | uniq -c | sort -rn | head
-
-# 6) Device-side stage decomposition after the changes.
 timeout 1800 python -u tools/profile_step.py

@@ -73,11 +73,14 @@ def main():
     from rte_rrtmgp_tpu.utils import tuner
 
     candidates = [{"gpt_chunk": 128, "pallas": 0, "block": 0, "unroll": 0},
-                  {"gpt_chunk": 64, "pallas": 1, "block": 256, "unroll": 4}]
+                  {"gpt_chunk": 64, "pallas": 1, "block": 256, "unroll": 4,
+                   "cellw": 1}]
     for chunk in (128, 256):
-        for unroll in (1, 4, 8):
-            candidates.append({"gpt_chunk": chunk, "pallas": 1,
-                               "block": 256, "unroll": unroll})
+        for unroll in (4, 8):
+            for cellw in (0, 1):
+                candidates.append({"gpt_chunk": chunk, "pallas": 1,
+                                   "block": 256, "unroll": unroll,
+                                   "cellw": cellw})
 
     results = []
     for cand in candidates:
@@ -85,6 +88,7 @@ def main():
         env["RTE_RRTMGP_PALLAS"] = str(cand["pallas"])
         env["RTE_RRTMGP_PALLAS_BLOCK"] = str(cand["block"] or 256)
         env["RTE_RRTMGP_PALLAS_UNROLL"] = str(cand.get("unroll") or 4)
+        env["RTE_RRTMGP_PALLAS_CELLW"] = str(cand.get("cellw", 1))
         env["TUNE_NCOL"], env["TUNE_NLAY"] = str(NCOL), str(NLAY)
         try:
             proc = subprocess.run(
