@@ -174,8 +174,10 @@ def trace_rays(key,
     sequentially, respawning as soon as its current photon dies (the
     analog of the reference's photons-per-thread loop,
     Raytracer.cu:344-374).  Idle-lane waste from the long-lived-photon
-    tail is amortized over the lane's whole quota; the default picks
-    min(8, photons_per_pixel).
+    tail is amortized over the lane's whole quota.  Default: the largest
+    quota (<= 8) that still keeps >= 32k lanes in flight — below ~32k
+    lanes the per-iteration dispatch latency dominates the step (the
+    width threshold measured in PERF.md), so small workloads run quota 1.
 
     Returns fluxes in W m-2 (2D) / W m-3 (3D absorption).
     """
@@ -185,7 +187,8 @@ def trace_rays(key,
     ncell = ny * nx
     n_photons = ncell * photons_per_pixel
     if photons_per_lane is None:
-        photons_per_lane = min(8, photons_per_pixel)
+        photons_per_lane = max(1, min(8, photons_per_pixel,
+                                      n_photons // 32768))
     while n_photons % photons_per_lane:
         photons_per_lane -= 1
     ppl = photons_per_lane

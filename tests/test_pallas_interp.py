@@ -261,6 +261,7 @@ def test_fused_gas_optics_entries_match_unfused():
     np.testing.assert_allclose(src_a.lay_src, src_b.lay_src, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_hoisted_resolves_match_per_chunk(monkeypatch):
     """Full-spectrum weight planes (major_resolves) sliced per chunk give
     exactly the per-chunk-built planes through both fused entries."""

@@ -106,6 +106,7 @@ def test_sw_2stream_with_diffuse_inc_and_padding():
     np.testing.assert_allclose(fb, np.asarray(fdir).sum(-1), rtol=3e-5, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_lw_deep_grid_multi_tile():
     """nlev > 128 (the reference's 256-layer RCEMIP regime): the flux-level
     output tile grows to a second 128-lane tile and the column block
@@ -122,6 +123,7 @@ def test_lw_deep_grid_multi_tile():
     np.testing.assert_allclose(fj, np.asarray(jac).sum(-1), rtol=2e-5, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sw_deep_grid_multi_tile():
     tau, ssa, g, mu0, adir, adif, inc = _sw_inputs(ncol=8, nlay=140)
     up, dn, fdir = rte_sw.sw_solver_2stream(tau, ssa, g, mu0, adir, adif, inc)
@@ -148,6 +150,7 @@ def test_fit_block_respects_vmem_budget():
     assert sk._fit_block(32, per_col_shallow) == 32
 
 
+@pytest.mark.slow
 def test_broadband_wrappers_subchunk_wide_spectra(monkeypatch):
     """G > 128 spectral chunks run as 128-g-point sub-sweeps inside the
     broadband wrappers (the kernel's scoped-VMEM budget caps nlay*G on

@@ -78,6 +78,7 @@ def _trace(key, fields, albedo, sun_z, tod_dir=1360.0, tod_dif=0.0, ppp=64,
         photons_per_pixel=ppp, independent_column=independent_column)
 
 
+@pytest.mark.slow
 def test_beer_lambert_pure_absorption():
     """ssa=0, direct beam only: surface direct flux = toa * exp(-tau/mu0)."""
     k_abs = 2.0e-4  # tau_total = 0.8 over 4000 m
@@ -126,6 +127,7 @@ def test_independent_column_matches_3d_for_homogeneous():
     assert abs(a - b) / max(a, b) < 0.05, (a, b)
 
 
+@pytest.mark.slow
 def test_cloud_shadow_3d():
     """An opaque cloud block in one quadrant shades the surface below it
     (direct flux) for an overhead sun."""

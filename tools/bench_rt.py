@@ -88,7 +88,13 @@ def main():
         return acc
 
     fn = jax.jit(run)
-    key = jax.random.PRNGKey(0)
+    # BENCH_RT_RNG=rbg swaps the counter-based threefry generator for the
+    # hardware RBG (the step draws 13 x n_lanes uniforms per iteration;
+    # threefry is a large share of the body's VPU work — the reference
+    # uses cheap XORWOW/Sobol, raytracer_kernels.cu:13-50).  rbg output is
+    # hardware-dependent, so it is a bench knob, not the default.
+    impl = os.environ.get("BENCH_RT_RNG", "threefry2x32")
+    key = jax.random.key(0, impl=impl)
     out = fn(key, fields[0])
     warm = float(np.asarray(out).mean())
     assert np.isfinite(warm) and warm > 0, warm

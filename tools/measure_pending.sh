@@ -25,11 +25,17 @@ BENCH_RT=0 BENCH_NCOL=4096 BENCH_NLAY=256 RTE_RRTMGP_PALLAS_CELLW=0 \
     timeout 2400 python -u bench.py
 
 # 4) MC forward tracer: scan vs lanes at the reference 64x64x256 domain
-#    (VERDICT r2 item 4 — target >= 1M photons/s, was 78k).
+#    (VERDICT r2 item 4 — target >= 1M photons/s, was 78k).  The new
+#    photons_per_lane default already holds >= 32k lanes in flight (the
+#    latency knee recorded in PERF.md).  Also A/B the RNG: threefry is a
+#    large share of the step body (13 x n_lanes draws/iter); rbg is the
+#    hardware generator.
 BENCH_RT_MODE=scan  timeout 1800 python -u tools/bench_rt.py 64 256 32 2
 BENCH_RT_MODE=lanes timeout 1800 python -u tools/bench_rt.py 64 256 32 2
 BENCH_RT_MODE=lanes timeout 1800 python -u tools/bench_rt.py 64 256 32 8
 BENCH_RT_MODE=lanes timeout 1800 python -u tools/bench_rt.py 64 64 32 8
+BENCH_RT_MODE=lanes BENCH_RT_RNG=rbg timeout 1800 \
+    python -u tools/bench_rt.py 64 256 32 8
 
 # 5) bw renderer at 256x256 px (VERDICT r2 item 5 — target >= 10x the
 #    6.6k rays/s measured at 64x64): scan vs lanes.
