@@ -106,8 +106,23 @@ def main():
         t_lay_i += 4
 
     fn = jax.jit(step)
-    out = fn(*args)
-    warm = float(np.asarray(out["lw_flux_up"]).ravel()[0])  # compile+warmup
+    try:
+        out = fn(*args)
+        warm = float(np.asarray(out["lw_flux_up"]).ravel()[0])  # compile+warm
+    except Exception as e:  # noqa: BLE001
+        # Safety net for kernel-mode regressions that only surface in the
+        # real Mosaic compiler (interpret-mode tests cannot catch them):
+        # retry ONCE in a clean process with the newest kernel mode off.
+        if os.environ.get("BENCH_CELLW_FALLBACK") is None \
+                and os.environ.get("RTE_RRTMGP_PALLAS_CELLW", "1") != "0":
+            import sys
+
+            print(f"# cellw path failed ({type(e).__name__}); retrying with "
+                  "RTE_RRTMGP_PALLAS_CELLW=0", file=sys.stderr)
+            env = dict(os.environ, RTE_RRTMGP_PALLAS_CELLW="0",
+                       BENCH_CELLW_FALLBACK="1")
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        raise
     assert np.isfinite(warm)
 
     # Chain iterations through a value-varying data dependency; sync by

@@ -160,13 +160,15 @@ class RadiationSolverBW:
         @jax.jit
         def optics_all(kd, play_f, tlay_f, col_gas_f, col_dry_f):
             interp = gas_ops.interpolation(kd, play_f, tlay_f, col_gas_f)
+            cellw = gas_ops.cellw_resolves(kd, interp)
             taus, ssas = [], []
             step = gpt_chunk or kd.ngpt
             for g0 in range(0, kd.ngpt, step):
                 kdc = kd.slice_gpt(g0, min(g0 + step, kd.ngpt))
-                t = gas_ops.tau_major(kdc, interp)
-                t = gas_ops.tau_minor(kdc, interp, play_f, tlay_f, col_gas_f, t)
-                r = gas_ops.tau_rayleigh(kdc, interp, col_gas_f, col_dry_f)
+                t, r = gas_ops.tau_major_and_rayleigh(
+                    kdc, interp, col_gas_f, col_dry_f, cellw=cellw, g0=g0)
+                t = gas_ops.tau_minor(kdc, interp, play_f, tlay_f, col_gas_f,
+                                      t, cellw=cellw)
                 tt, ss, _ = gas_ops.combine_abs_and_rayleigh(t, r)
                 taus.append(jnp.flip(tt, axis=1))
                 ssas.append(jnp.flip(ss, axis=1))

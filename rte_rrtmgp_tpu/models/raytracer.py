@@ -219,34 +219,38 @@ def trace_rays(key,
     knull_flat = k_null_grid.reshape(-1)
     use_mie = mie_cdf is not None
 
-    def spawn(u5, count):
-        """Stratified launch of each lane's photon number ``count``
-        (global photon id = lane + n_lanes*count, covering every pixel
-        exactly photons_per_pixel times)."""
-        lane = jnp.arange(n_lanes, dtype=jnp.int32)
-        pid = lane + jnp.asarray(n_lanes, jnp.int32) * count
-        pix = pid % ncell
-        px = (pix % nx).astype(dtype)
-        py = (pix // nx).astype(dtype)
-        pos = jnp.stack([(px + u5[0]) * dx, (py + u5[1]) * dy,
-                         jnp.full((n_lanes,), size_z - s_min, dtype)], axis=1)
-        is_direct = u5[2] >= diff_frac
-        mu_s = jnp.sqrt(u5[3])
-        az_s = 2.0 * jnp.pi * u5[4]
-        dif_dir = jnp.stack([mu_s * jnp.sin(az_s), mu_s * jnp.cos(az_s),
-                             -jnp.sqrt(1.0 - mu_s ** 2 + eps)], axis=1)
-        direction = jnp.where(is_direct[:, None], sun_direction[None, :],
-                              dif_dir)
-        return pix, pos, direction, is_direct
-
+    # Precomputed launch pool (the bw tracer's design, raytracer_bw.py):
+    # every photon id's stratified start state is built ONCE before the
+    # loop, so an in-loop respawn is a single packed row gather instead of
+    # five fresh RNG draws + trig per step.  Photon id = lane +
+    # n_lanes*count covers every pixel exactly photons_per_pixel times, so
+    # toa_down is credited in full here (exact whenever the loop runs to
+    # natural termination; the max_steps fuse is a safety net far past any
+    # real walk length).
     key, k0 = jax.random.split(key)
-    u0 = jax.random.uniform(k0, (5, n_lanes), dtype)
-    pix0, pos, direction, is_direct = spawn(u0, jnp.zeros((), jnp.int32))
+    u5 = jax.random.uniform(k0, (5, n_photons), dtype)
+    pid_all = jnp.arange(n_photons, dtype=jnp.int32)
+    pix_all = pid_all % ncell
+    px = (pix_all % nx).astype(dtype)
+    py = (pix_all // nx).astype(dtype)
+    pool_pos = jnp.stack([(px + u5[0]) * dx, (py + u5[1]) * dy,
+                          jnp.full((n_photons,), size_z - s_min, dtype)],
+                         axis=1)
+    pool_direct = u5[2] >= diff_frac
+    mu_s = jnp.sqrt(u5[3])
+    az_s = 2.0 * jnp.pi * u5[4]
+    dif_dir = jnp.stack([mu_s * jnp.sin(az_s), mu_s * jnp.cos(az_s),
+                         -jnp.sqrt(1.0 - mu_s ** 2 + eps)], axis=1)
+    pool_dir = jnp.where(pool_direct[:, None], sun_direction[None, :],
+                         dif_dir)
+    pool = jnp.concatenate(
+        [pool_pos, pool_dir, pool_direct[:, None].astype(dtype)], axis=1)
 
+    lane_ids = jnp.arange(n_lanes, dtype=jnp.int32)
     state = _PhotonState(
-        pos=pos, direction=direction,
+        pos=pool_pos[:n_lanes], direction=pool_dir[:n_lanes],
         weight=jnp.ones(n_lanes, dtype),
-        is_direct=is_direct,
+        is_direct=pool_direct[:n_lanes],
         alive=jnp.ones(n_lanes, dtype=bool),
         tau=jnp.zeros(n_lanes, dtype),
         d_max=jnp.zeros(n_lanes, dtype),
@@ -255,7 +259,7 @@ def trace_rays(key,
         count=jnp.zeros(n_lanes, jnp.int32),
     )
     counts = dict(
-        toa_down=jnp.zeros(ncell, dtype).at[pix0].add(1.0),
+        toa_down=jnp.zeros(ncell, dtype).at[pix_all].add(1.0),
         # packed (tod_up, sfc_dir, sfc_dif, sfc_up) per pixel
         sfc=jnp.zeros((ncell, 4), dtype),
         # packed (direct, diffuse) absorption per cell
@@ -269,7 +273,11 @@ def trace_rays(key,
     def body(carry):
         state, counts, key, step = carry
         key, ku = jax.random.split(key)
-        u = jax.random.uniform(ku, (13, n_lanes), dtype)
+        # Six draws per step: rows 3/4 are SHARED between the surface branch
+        # (Lambertian mu/azimuth) and the collision branch (scatter
+        # type/angle) — a lane is in exactly one branch per step, so each
+        # uniform is consumed once and independence is preserved.
+        u = jax.random.uniform(ku, (6, n_lanes), dtype)
 
         pos, direction = state.pos, state.direction
         alive = state.alive
@@ -343,8 +351,8 @@ def trace_rays(key,
         sfc_alive = m_sfc & (w_after > 0.0)
 
         # Lambertian reflection for surviving surface hits.
-        mu_r = jnp.sqrt(u[2])
-        az_r = 2.0 * jnp.pi * u[3]
+        mu_r = jnp.sqrt(u[3])
+        az_r = 2.0 * jnp.pi * u[4]
         refl_dir = jnp.stack([mu_r * jnp.sin(az_r), mu_r * jnp.cos(az_r),
                               jnp.sqrt(1.0 - mu_r ** 2 + eps)], axis=1)
 
@@ -401,26 +409,26 @@ def trace_rays(key,
 
         # null collision vs scattering (kernel :345-352)
         p_scat = ssa_tot / (ssa_tot - 1.0 + k_null / jnp.maximum(k_here, eps))
-        is_null = u[4] >= p_scat
+        is_null = u[2] >= p_scat
         m_scat = col_alive & ~is_null
 
         # scatter type: 0 gas (Rayleigh), 1 cloud (Mie/HG), 2 aerosol (HG)
-        sr = u[5] * jnp.maximum(k_sca_tot, eps)
+        sr = u[3] * jnp.maximum(k_sca_tot, eps)
         type_aer = sr < ksca_a
         type_cld = (~type_aer) & (sr < ksca_a + ksca_c)
         g_cld = jnp.minimum(1.0 - eps, cell[:, 4])
         g_aer = jnp.minimum(1.0 - eps, cell[:, 5])
 
-        cos_ray = _rayleigh_sample(u[6])
-        cos_aer = _henyey_sample(jnp.where(jnp.abs(g_aer) < 1e-4, 1e-4, g_aer), u[6])
+        cos_ray = _rayleigh_sample(u[4])
+        cos_aer = _henyey_sample(jnp.where(jnp.abs(g_aer) < 1e-4, 1e-4, g_aer), u[4])
         if use_mie:
-            cos_cld = _mie_sample(mie_cdf, mie_ang, u[6], cell[:, 6])
+            cos_cld = _mie_sample(mie_cdf, mie_ang, u[4], cell[:, 6])
         else:
-            cos_cld = _henyey_sample(jnp.where(jnp.abs(g_cld) < 1e-4, 1e-4, g_cld), u[6])
+            cos_cld = _henyey_sample(jnp.where(jnp.abs(g_cld) < 1e-4, 1e-4, g_cld), u[4])
         cos_scat = jnp.where(type_aer, cos_aer,
                              jnp.where(type_cld, cos_cld, cos_ray))
         cos_scat = jnp.clip(cos_scat, -1.0, 1.0)
-        scat_dir = _scatter_direction(direction, cos_scat, u[7])
+        scat_dir = _scatter_direction(direction, cos_scat, u[5])
 
         # ---- merge all branches into the next state ----
         new_pos = jnp.where(m_col[:, None], pos_col,
@@ -445,16 +453,15 @@ def trace_rays(key,
         new_tau = jnp.where(m_pass, tau_pass, tau)
 
         # ---- respawn: a lane whose photon died launches its next photon
-        # immediately (reference photons-per-thread loop) ----
+        # immediately (reference photons-per-thread loop) — one packed row
+        # gather from the precomputed launch pool ----
         respawn = alive & ~new_alive & (state.count < ppl - 1)
         new_count = jnp.where(respawn, state.count + 1, state.count)
-        pix_r, pos_r, dir_r, direct_r = spawn(u[8:13], new_count)
-        counts["toa_down"] = counts["toa_down"].at[pix_r].add(
-            respawn.astype(dtype))
-        new_pos = jnp.where(respawn[:, None], pos_r, new_pos)
-        new_dir = jnp.where(respawn[:, None], dir_r, new_dir)
+        launch = jnp.take(pool, lane_ids + n_lanes * new_count, axis=0)
+        new_pos = jnp.where(respawn[:, None], launch[:, 0:3], new_pos)
+        new_dir = jnp.where(respawn[:, None], launch[:, 3:6], new_dir)
         new_weight = jnp.where(respawn, 1.0, new_weight)
-        new_direct = jnp.where(respawn, direct_r, new_direct)
+        new_direct = jnp.where(respawn, launch[:, 6] > 0.5, new_direct)
         new_alive = new_alive | respawn
         new_dmax = jnp.where(respawn, 0.0, new_dmax)
         new_trans = new_trans & ~respawn

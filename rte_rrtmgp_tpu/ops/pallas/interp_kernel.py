@@ -520,6 +520,12 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
 
     while block % unroll:
         unroll -= 1
+    if sc is not None and block % 8 == 0:
+        # The sc block's in-kernel dynamic slice starts at gi*unroll on the
+        # sublane axis; keep starts 8-aligned (Mosaic sublane alignment).
+        unroll = max(8, unroll - unroll % 8)
+        while block % unroll:
+            unroll -= 8
     operands = [rows]
     specs = [pl.BlockSpec((block, rows.shape[1]), lambda ib: (ib, 0),
                           memory_space=pltpu.SMEM)]
