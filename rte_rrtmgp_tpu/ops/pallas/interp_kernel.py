@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -452,8 +453,10 @@ def _kernel_cellw(metas, unroll, has_sc, rows_ref, *refs):
             col += nc
 
     def body(gi, _):
-        b0 = gi * unroll
-        Vb = V_ref[pl.ds(b0 * CELL_ROWS, unroll * CELL_ROWS), :]
+        # np.int32 constants: under x64 bare Python ints promote the index
+        # arithmetic to i64, which the Mosaic verifier rejects.
+        b0 = gi * np.int32(unroll)
+        Vb = V_ref[pl.ds(b0 * np.int32(CELL_ROWS), unroll * CELL_ROWS), :]
         res = jax.lax.dot_general(
             Vb, M2_ref[...], (((1,), (0,)), ((), ())),
             precision=hi, preferred_element_type=dtype)

@@ -132,6 +132,7 @@ def test_cli_rt_tica(tmp_path_factory, monkeypatch):
         np.testing.assert_allclose(bnd.sum(0), sfc, rtol=2e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cli_rt_gpt_per_dispatch(tmp_path_factory, monkeypatch):
     """--gpt-per-dispatch (watchdog-safe windowed MC) matches the
     single-dispatch run exactly through the CLI."""
@@ -163,6 +164,7 @@ def test_cli_rt_gpt_per_dispatch(tmp_path_factory, monkeypatch):
                                        atol=1e-5, err_msg=v + " (lanes)")
 
 
+@pytest.mark.slow
 def test_cli_bw_nee_and_dispatch_flags(tmp_path_factory, monkeypatch):
     """cli_bw --nee-mode field --steps-per-dispatch 2 renders finite
     radiance (the fast-preview estimator + watchdog-safe chunking)."""

@@ -427,3 +427,52 @@ def test_dup2_lane_merged_pair_matches_singles():
                                rtol=2e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(merged[:, G:]), np.asarray(s2),
                                rtol=2e-6, atol=1e-6)
+
+
+def test_cellw_kernel_lowers_for_tpu():
+    """Cross-lower the cellw kernel for the TPU platform via jax.export:
+    the Pallas -> Mosaic frontend runs at lowering time on the host, so
+    shape/alignment regressions surface here without TPU hardware (the
+    backend binary compile still happens on-device)."""
+    import sys
+
+    from jax import export
+    from rte_rrtmgp_tpu.ops.pallas import interp_cellw_multi
+
+    # Lowering the unrolled kernel under pytest's already-deep call stack
+    # can trip the default recursion limit.
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(20000)
+    rng = np.random.default_rng(0)
+    N, G, R, E, F = 64, 128, 36, 9, 9
+    P = 2 * F
+    tbl = jnp.asarray(rng.random((R, E, G), np.float32))
+    rows = jnp.asarray(rng.integers(0, R, (N, 4)), jnp.int32)
+    rows2 = jnp.asarray(rng.integers(0, R, (N, 2)), jnp.int32)
+    V = jnp.asarray(rng.random((N * 8, P), np.float32))
+    M2 = jnp.asarray(rng.random((P, G), np.float32))
+    fp = jnp.asarray(rng.random((N,), np.float32))
+    sc = jnp.asarray(rng.random((N, 3), np.float32))
+    msc = jnp.asarray(rng.random((3, G), np.float32))
+
+    def f(tbl, rows, V, M2, fp):
+        return interp_cellw_multi(
+            [tbl, tbl], [rows, rows], V, M2, fp,
+            metas=(((0, 0, 1, 1), True, True), ((0, 0, 1, 1), True, False)),
+            neta=E, block=32, unroll=8)
+
+    def g(tbl, rows2, V, M2, sc, msc):
+        return interp_cellw_multi(
+            [tbl], [rows2], V, M2, None, metas=(((0, 1), False, False),),
+            neta=E, block=32, unroll=8, sc=sc, msc=msc)
+
+    # The production path is x32; the test conftest enables x64, under
+    # which export recursion explodes — lower in x32 like production.
+    with jax.enable_x64(False):
+        e = export.export(jax.jit(f), platforms=["tpu"])(tbl, rows, V, M2,
+                                                         fp)
+        assert [tuple(o.shape) for o in e.out_avals] == [(N, G), (N, G)]
+        e2 = export.export(jax.jit(g), platforms=["tpu"])(tbl, rows2, V, M2,
+                                                          sc, msc)
+        assert [tuple(o.shape) for o in e2.out_avals] == [(N, G)]
+    sys.setrecursionlimit(old_limit)

@@ -89,6 +89,7 @@ def test_sw_2stream_matches_xla():
     np.testing.assert_allclose(fb, np.asarray(fdir).sum(-1), rtol=3e-5, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_sw_2stream_with_diffuse_inc_and_padding():
     tau, ssa, g, mu0, adir, adif, inc = _sw_inputs(ncol=13, ngpt=96)
     inc_dif = 0.3 * inc
