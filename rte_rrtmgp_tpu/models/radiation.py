@@ -96,10 +96,8 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
-        tau, pfrac = gas_ops.tau_major_and_pfrac(kdc, interp, resolves, g0,
-                                                 cellw=cellw)
-        tau = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas, tau,
-                                cellw=cellw)
+        tau, pfrac = gas_ops.tau_majmin_and_pfrac(
+            kdc, interp, p_lay, t_lay, col_gas, resolves, g0, cellw=cellw)
         src = gas_ops.planck_source(kdc, interp, t_lay, t_lev, t_sfc,
                                     sfc_lay=nlay - 1, pfrac=pfrac)
         if with_clouds:
@@ -209,10 +207,9 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
-        tau_abs, tau_ray = gas_ops.tau_major_and_rayleigh(
-            kdc, interp, col_gas, col_dry, resolves, g0, cellw=cellw)
-        tau_abs = gas_ops.tau_minor(kdc, interp, p_lay, t_lay, col_gas,
-                                    tau_abs, cellw=cellw)
+        tau_abs, tau_ray = gas_ops.tau_majmin_and_rayleigh(
+            kdc, interp, p_lay, t_lay, col_gas, col_dry, resolves, g0,
+            cellw=cellw)
         tau, ssa, g = gas_ops.combine_abs_and_rayleigh(tau_abs, tau_ray)
         op = optics_ops.OpticalProps2str(tau=tau, ssa=ssa, g=g)
 

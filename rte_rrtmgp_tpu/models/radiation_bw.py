@@ -165,10 +165,9 @@ class RadiationSolverBW:
             step = gpt_chunk or kd.ngpt
             for g0 in range(0, kd.ngpt, step):
                 kdc = kd.slice_gpt(g0, min(g0 + step, kd.ngpt))
-                t, r = gas_ops.tau_major_and_rayleigh(
-                    kdc, interp, col_gas_f, col_dry_f, cellw=cellw, g0=g0)
-                t = gas_ops.tau_minor(kdc, interp, play_f, tlay_f, col_gas_f,
-                                      t, cellw=cellw)
+                t, r = gas_ops.tau_majmin_and_rayleigh(
+                    kdc, interp, play_f, tlay_f, col_gas_f, col_dry_f,
+                    g0=g0, cellw=cellw)
                 tt, ss, _ = gas_ops.combine_abs_and_rayleigh(t, r)
                 taus.append(jnp.flip(tt, axis=1))
                 ssas.append(jnp.flip(ss, axis=1))

@@ -131,10 +131,9 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
     for g0 in range(0, kd.ngpt, step) if gas_planes is None else ():
         g1 = min(g0 + step, kd.ngpt)
         kdc = kd.slice_gpt(g0, g1)
-        tau_abs, tau_ray = gas_ops.tau_major_and_rayleigh(
-            kdc, interp, colgas_flip, flip(col_dry), cellw=cellw, g0=g0)
-        tau_abs = gas_ops.tau_minor(kdc, interp, flip(p_lay), flip(t_lay),
-                                    colgas_flip, tau_abs, cellw=cellw)
+        tau_abs, tau_ray = gas_ops.tau_majmin_and_rayleigh(
+            kdc, interp, flip(p_lay), flip(t_lay), colgas_flip,
+            flip(col_dry), g0=g0, cellw=cellw)
         tau_g, ssa_g, _ = gas_ops.combine_abs_and_rayleigh(tau_abs, tau_ray)
         # back to surface-at-0 for the 3D work
         gas_tau_parts.append(flip(tau_g))

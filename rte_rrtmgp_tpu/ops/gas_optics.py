@@ -556,44 +556,86 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
             tau_rayleigh(kd, interp, col_gas, col_dry))
 
 
-def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau,
-              cellw=None):
-    """Minor-gas optical depth, both atmospheres; adds into ``tau``.
-
-    Trace-time unrolled over the static MinorSpec tuples (the TPU-friendly
-    replacement for gas_optical_depths_minor_kernel :458-579).  Each
-    interval is one 2-row gather from the de-pre-expanded
-    ``kminor_*_rows`` table ((neta-1)*ntemp rows of (2, ncont)).
-    """
+def _spec_scaling(kd, spec, maskf, play, tlay, col_gas):
+    """Per-interval scaling column (gas_optical_depths_minor_kernel
+    :494-519), with the atmosphere mask folded in."""
     dtype = play.dtype
-    ntemp = kd.ntemp
-    C, L, G = tau.shape
+    scaling = col_gas[:, :, spec.idx_minor]
+    if spec.scales_with_density:
+        scaling = scaling * (0.01 * play / tlay)
+        if spec.idx_scaling > 0:
+            # Guard degenerate layers (col_dry == 0, e.g. duplicated
+            # pressure levels at the model top) against 0/0 -> NaN.
+            vmr_fact = 1.0 / jnp.maximum(col_gas[:, :, 0],
+                                         config.tiny(dtype))
+            dry_fact = 1.0 / (1.0 + col_gas[:, :, kd.idx_h2o] * vmr_fact)
+            sx = col_gas[:, :, spec.idx_scaling] * vmr_fact * dry_fact
+            scaling = scaling * ((1.0 - sx) if spec.scale_by_complement
+                                 else sx)
+    return scaling * maskf
 
-    use_pallas = config.use_pallas() and dtype == jnp.float32
+
+def _minor_prep(kd: KDist, interp: Interp, play, tlay, col_gas):
+    """Assemble the Pallas minor-pass inputs across both atmospheres and
+    all intervals: the kernel's "g" axis is the concatenated contributor
+    axis; je / weights / scaling broadcast per interval (contributors of
+    one interval share the interval's flavor; the atmosphere mask is
+    folded into the scaling).  Returns None when the k-distribution has no
+    minor specs, else (tbl, rows, Mf, Ms, sc, ordered, CT)."""
+    dtype = play.dtype
+    C, L = interp.tropo.shape
+    N = C * L
     F = kd.nflav
+    atmos = [(kd.minor_lower, kd.kminor_lower_trows, interp.tropo),
+             (kd.minor_upper, kd.kminor_upper_trows,
+              jnp.logical_not(interp.tropo))]
+    cols, scal_cols = [], []
+    ordered = []  # (spec,) in lower-then-upper order
+    for specs, kminor_trows, mask in atmos:
+        maskf = mask.astype(dtype)
+        for spec in specs:
+            ng = spec.gpt_end - spec.gpt_start
+            cols.append(jax.lax.slice_in_dim(
+                kminor_trows, spec.kminor_start,
+                spec.kminor_start + ng, axis=2))
+            scal_cols.append(_spec_scaling(kd, spec, maskf, play, tlay,
+                                           col_gas))
+            ordered.append(spec)
+    if not ordered:
+        return None
 
-    def spec_scaling(spec, maskf):
-        scaling = col_gas[:, :, spec.idx_minor]
-        if spec.scales_with_density:
-            scaling = scaling * (0.01 * play / tlay)
-            if spec.idx_scaling > 0:
-                # Guard degenerate layers (col_dry == 0, e.g. duplicated
-                # pressure levels at the model top) against 0/0 -> NaN.
-                vmr_fact = 1.0 / jnp.maximum(col_gas[:, :, 0],
-                                             config.tiny(dtype))
-                dry_fact = 1.0 / (1.0 + col_gas[:, :, kd.idx_h2o] * vmr_fact)
-                sx = col_gas[:, :, spec.idx_scaling] * vmr_fact * dry_fact
-                scaling = scaling * ((1.0 - sx) if spec.scale_by_complement
-                                     else sx)
-        return scaling * maskf
+    tbl = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=2)
+    CT = sum(sp.gpt_end - sp.gpt_start for sp in ordered)
 
-    # Assemble per-interval contributions into overlap "layers" of disjoint
-    # g-ranges, stitched with zero fills and added to tau as whole
-    # (ncol, nlay, ngpt) planes: per-spec dynamic_update_slice chains cost a
-    # full tau copy per interval on TPU.  Greedy first-fit in spec order
-    # keeps the per-g-point addition order identical to the sequential
-    # reference loop (lower and upper atmospheres are disjoint per cell, so
-    # merging their layers is exact).
+    # Per-contributor placement matrices (one-hot; a single nonzero unit
+    # product per output stays exact): flavors -> CT for je / fminor,
+    # interval -> CT for the scaling.
+    Mf = np.zeros((F, CT), np.float32)
+    Ms = np.zeros((len(ordered), CT), np.float32)
+    off = 0
+    for k_s, spec in enumerate(ordered):
+        ng = spec.gpt_end - spec.gpt_start
+        Mf[spec.flavor, off:off + ng] = 1.0
+        Ms[k_s, off:off + ng] = 1.0
+        off += ng
+    it = np.arange(2, dtype=np.int32)[None, None, :]
+    rows = (interp.jtemp0[:, :, None] + it).reshape(N, 2).astype(jnp.int32)
+    sc = jnp.stack(scal_cols, axis=2).reshape(N, len(ordered))
+    return tbl, rows, Mf, Ms, sc, ordered, CT
+
+
+def _minor_stitch(tau, upd_all, ordered):
+    """Add the per-contributor minor planes into ``tau``.
+
+    Contributions assemble into overlap "layers" of disjoint g-ranges,
+    stitched with zero fills and added as whole (C, L, G) planes: per-spec
+    dynamic_update_slice chains cost a full tau copy per interval on TPU.
+    Greedy first-fit in spec order keeps the per-g-point addition order
+    identical to the sequential reference loop (lower and upper
+    atmospheres are disjoint per cell, so merging their layers is
+    exact)."""
+    C, L, G = tau.shape
+    dtype = tau.dtype
     layers = []  # list of list[(g0, g1, upd)]
 
     def place(spec, upd):
@@ -604,119 +646,11 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau,
                 return
         layers.append([(spec.gpt_start, spec.gpt_end, upd)])
 
-    atmos = [
-        (kd.minor_lower, kd.kminor_lower_rows, kd.kminor_lower_trows,
-         interp.tropo),
-        (kd.minor_upper, kd.kminor_upper_rows, kd.kminor_upper_trows,
-         jnp.logical_not(interp.tropo)),
-    ]
-    jt = interp.jtemp0  # (ncol, nlay)
-
-    if use_pallas and any(specs for specs, *_ in atmos):
-        # ONE kernel call across both atmospheres and all intervals: the
-        # "g" axis is the concatenated contributor axis; je / weights /
-        # scaling broadcast per interval (contributors of one interval
-        # share the interval's flavor; the atmosphere mask is folded into
-        # the scaling plane).
-
-        from .pallas import interp_rows_pallas, kernel_opts
-
-        cols, scal_cols = [], []
-        ordered = []  # (spec,) in lower-then-upper order
-        for specs, _, kminor_trows, mask in atmos:
-            maskf = mask.astype(dtype)
-            for spec in specs:
-                ng = spec.gpt_end - spec.gpt_start
-                cols.append(jax.lax.slice_in_dim(
-                    kminor_trows, spec.kminor_start,
-                    spec.kminor_start + ng, axis=2))
-                scal_cols.append(spec_scaling(spec, maskf))
-                ordered.append(spec)
-
-        tbl = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=2)
-        CT = sum(sp.gpt_end - sp.gpt_start for sp in ordered)
-        N = C * L
-
-        # Per-contributor planes via one-hot placement matmuls (MXU; a
-        # single nonzero product per output stays exact): flavors -> CT for
-        # je / fminor, interval -> CT for the scaling.
-        Mf = np.zeros((F, CT), np.float32)
-        Ms = np.zeros((len(ordered), CT), np.float32)
-        off = 0
-        for k_s, spec in enumerate(ordered):
-            ng = spec.gpt_end - spec.gpt_start
-            Mf[spec.flavor, off:off + ng] = 1.0
-            Ms[k_s, off:off + ng] = 1.0
-            off += ng
-        it = np.arange(2, dtype=np.int32)[None, None, :]
-        rows = (jt[:, :, None] + it).reshape(N, 2)
-        if cellw is not None:
-            # In-kernel resolve: the SAME per-cell V works with the
-            # contributor-placement mask duplicated over both tropo halves
-            # (x*tf + x*(1-tf) = x exactly, tf in {0, 1}); the per-interval
-            # scaling folds in through the (sc, Msc) side matmul — neither
-            # the (N, CT) weight planes nor the scaling plane ever touch
-            # HBM.
-            from .pallas import interp_cellw_multi
-
-            M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
-            sc = jnp.stack(scal_cols, axis=2).reshape(N, len(ordered))
-            (upd_flat,) = interp_cellw_multi(
-                [tbl], [rows.astype(jnp.int32)], cellw.V, M2m, None,
-                metas=(((0, 1), False, False),), neta=kd.neta,
-                sc=sc, msc=jnp.asarray(Ms, dtype), **_cellw_opts())
-            upd_all = upd_flat.reshape(C, L, CT)
-        else:
-            Mf = jnp.asarray(Mf, dtype)
-            Ms = jnp.asarray(Ms, dtype)
-
-            def flav_plane(x_clF):   # (C, L, F) -> (N, CT)
-                return jnp.matmul(x_clF, Mf,
-                                  precision="highest").reshape(N, CT)
-
-            # One-hot matmuls of exact small ints are exact -> keep f32
-            # (the kernel compares eta indices in the table dtype).
-            jes2 = tuple(
-                flav_plane(interp.jeta0[:, :, i * F:(i + 1) * F].astype(dtype))
-                for i in range(2))
-            fms4 = tuple(flav_plane(interp.fminor[:, :, c * F:(c + 1) * F])
-                         for c in range(4))
-            scal_plane = jnp.matmul(
-                jnp.stack(scal_cols, axis=2), Ms,
-                precision="highest").reshape(N, CT)
-
-            ltau_all = interp_rows_pallas(
-                tbl, rows.astype(jnp.int32), jes2, fms4,
-                neta=kd.neta, corner_itemp=(0, 1), **kernel_opts())
-            upd_all = (ltau_all * scal_plane).reshape(C, L, CT)
-        off = 0
-        for spec in ordered:
-            ng = spec.gpt_end - spec.gpt_start
-            place(spec, jax.lax.slice_in_dim(upd_all, off, off + ng, axis=2))
-            off += ng
-    elif not use_pallas:
-        for specs, kminor_rows, _, mask in atmos:
-            maskf = mask.astype(dtype)
-            for spec in specs:
-                scaling = spec_scaling(spec, maskf)
-
-                ng = spec.gpt_end - spec.gpt_start
-                tbl = jax.lax.slice_in_dim(kminor_rows, spec.kminor_start,
-                                           spec.kminor_start + ng, axis=2)
-                # rows r_i = jeta0[f, i]*ntemp + jtemp0 + i
-                f = spec.flavor
-                je = jnp.stack([interp.jeta0[:, :, f],
-                                interp.jeta0[:, :, F + f]], axis=-1)
-                it = np.arange(2, dtype=np.int32)[None, None, :]
-                rows = je * ntemp + jt[:, :, None] + it   # (ncol, nlay, 2)
-                slab = jnp.take(tbl, rows, axis=0)        # (C,L,2i,2de,ng)
-
-                fm = interp.fminor                        # flat (i*2+de)*F+f
-                ltau = (fm[:, :, 0 * F + f, None] * slab[:, :, 0, 0]
-                        + fm[:, :, 1 * F + f, None] * slab[:, :, 0, 1]) + (
-                       fm[:, :, 2 * F + f, None] * slab[:, :, 1, 0]
-                        + fm[:, :, 3 * F + f, None] * slab[:, :, 1, 1])
-                place(spec, ltau * scaling[:, :, None])
+    off = 0
+    for spec in ordered:
+        ng = spec.gpt_end - spec.gpt_start
+        place(spec, jax.lax.slice_in_dim(upd_all, off, off + ng, axis=2))
+        off += ng
 
     for layer in layers:
         pieces = []
@@ -732,6 +666,189 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau,
             pieces, axis=2)
         tau = tau + plane
     return tau
+
+
+def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau,
+              cellw=None):
+    """Minor-gas optical depth, both atmospheres; adds into ``tau``.
+
+    Trace-time unrolled over the static MinorSpec tuples (the TPU-friendly
+    replacement for gas_optical_depths_minor_kernel :458-579).  Each
+    interval is one 2-row gather from the de-pre-expanded
+    ``kminor_*_rows`` table ((neta-1)*ntemp rows of (2, ncont)).
+    """
+    dtype = play.dtype
+    ntemp = kd.ntemp
+    C, L, G = tau.shape
+
+    use_pallas = config.use_pallas() and dtype == jnp.float32
+    F = kd.nflav
+    jt = interp.jtemp0  # (ncol, nlay)
+
+    if use_pallas:
+        prep = _minor_prep(kd, interp, play, tlay, col_gas)
+        if prep is None:
+            return tau
+        tbl, rows, Mf, Ms, sc, ordered, CT = prep
+        N = C * L
+        if cellw is not None:
+            # In-kernel resolve: the SAME per-cell V works with the
+            # contributor-placement mask duplicated over both tropo halves
+            # (x*tf + x*(1-tf) = x exactly, tf in {0, 1}); the per-interval
+            # scaling folds in through the (sc, Msc) side matmul — neither
+            # the (N, CT) weight planes nor the scaling plane ever touch
+            # HBM.
+            from .pallas import interp_cellw_multi
+
+            M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
+            (upd_flat,) = interp_cellw_multi(
+                [tbl], [rows], cellw.V, M2m, None,
+                metas=(((0, 1), False, False),), neta=kd.neta,
+                sc=sc, msc=jnp.asarray(Ms, dtype), **_cellw_opts())
+            upd_all = upd_flat.reshape(C, L, CT)
+        else:
+            from .pallas import interp_rows_pallas, kernel_opts
+
+            Mfj = jnp.asarray(Mf, dtype)
+
+            def flav_plane(x_clF):   # (C, L, F) -> (N, CT)
+                return jnp.matmul(x_clF, Mfj,
+                                  precision="highest").reshape(N, CT)
+
+            # One-hot matmuls of exact small ints are exact -> keep f32
+            # (the kernel compares eta indices in the table dtype).
+            jes2 = tuple(
+                flav_plane(interp.jeta0[:, :, i * F:(i + 1) * F].astype(dtype))
+                for i in range(2))
+            fms4 = tuple(flav_plane(interp.fminor[:, :, c * F:(c + 1) * F])
+                         for c in range(4))
+            scal_plane = jnp.matmul(
+                sc, jnp.asarray(Ms, dtype), precision="highest")
+
+            ltau_all = interp_rows_pallas(
+                tbl, rows, jes2, fms4,
+                neta=kd.neta, corner_itemp=(0, 1), **kernel_opts())
+            upd_all = (ltau_all * scal_plane).reshape(C, L, CT)
+        return _minor_stitch(tau, upd_all, ordered)
+
+    # Pure-XLA fallback: per-spec HBM row gathers.
+    ordered_x, upds = [], []
+    for specs, kminor_rows, mask in [
+            (kd.minor_lower, kd.kminor_lower_rows, interp.tropo),
+            (kd.minor_upper, kd.kminor_upper_rows,
+             jnp.logical_not(interp.tropo))]:
+        maskf = mask.astype(dtype)
+        for spec in specs:
+            scaling = _spec_scaling(kd, spec, maskf, play, tlay, col_gas)
+
+            ng = spec.gpt_end - spec.gpt_start
+            tbl = jax.lax.slice_in_dim(kminor_rows, spec.kminor_start,
+                                       spec.kminor_start + ng, axis=2)
+            # rows r_i = jeta0[f, i]*ntemp + jtemp0 + i
+            f = spec.flavor
+            je = jnp.stack([interp.jeta0[:, :, f],
+                            interp.jeta0[:, :, F + f]], axis=-1)
+            it = np.arange(2, dtype=np.int32)[None, None, :]
+            rows = je * ntemp + jt[:, :, None] + it   # (ncol, nlay, 2)
+            slab = jnp.take(tbl, rows, axis=0)        # (C,L,2i,2de,ng)
+
+            fm = interp.fminor                        # flat (i*2+de)*F+f
+            ltau = (fm[:, :, 0 * F + f, None] * slab[:, :, 0, 0]
+                    + fm[:, :, 1 * F + f, None] * slab[:, :, 0, 1]) + (
+                   fm[:, :, 2 * F + f, None] * slab[:, :, 1, 0]
+                    + fm[:, :, 3 * F + f, None] * slab[:, :, 1, 1])
+            ordered_x.append(spec)
+            upds.append(ltau * scaling[:, :, None])
+    if not ordered_x:
+        return tau
+    upd_all = jnp.concatenate(upds, axis=2) if len(upds) > 1 else upds[0]
+    return _minor_stitch(tau, upd_all, ordered_x)
+
+
+def merge_minor_enabled() -> bool:
+    """Whether the cellw path folds the minor pass into the main interp
+    pass (one kernel epoch per chunk instead of two — the 'fewer passes'
+    lever from PERF.md).  Env knob for the on-hardware A/B."""
+    import os
+
+    return os.environ.get("RTE_RRTMGP_PALLAS_MERGE_MINOR", "1") not in (
+        "0", "false", "off")
+
+
+def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
+                         resolves=None, g0=0, cellw=None):
+    """kmajor + planck-fraction + MINOR in one Pallas pass (cellw mode,
+    per-op mask matrices): the per-cell loop runs ONCE per chunk instead
+    of twice, sharing the V load and loop overhead.  Falls back to the
+    two-pass form (fused major+pfrac, then minor) when the merge or the
+    cellw pack is unavailable.  Returns (tau_with_minor, pfrac)."""
+    dtype = kd.kmajor_rows.dtype
+    if (cellw is not None and merge_minor_enabled()
+            and config.use_pallas() and dtype == jnp.float32):
+        prep = _minor_prep(kd, interp, play, tlay, col_gas)
+        if prep is not None:
+            from .pallas import interp_cellw_multi
+
+            tbl_m, rows_m, Mf, Ms, sc, ordered, CT = prep
+            C, L = interp.tropo.shape
+            G = kd.kmajor_rows.shape[2]
+            M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
+            M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
+            tau, pfrac, upd = interp_cellw_multi(
+                [kd.kmajor_rows, kd.planck_rows, tbl_m],
+                [cellw.rows, cellw.rows, rows_m], cellw.V, [M2, M2m],
+                cellw.fp,
+                metas=(((0, 0, 1, 1), True, True, 0),
+                       ((0, 0, 1, 1), True, False, 0),
+                       ((0, 1), False, False, 1)),
+                neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
+                sc_ops=(2,), **_cellw_opts())
+            tau = _minor_stitch(tau.reshape(C, L, G),
+                                upd.reshape(C, L, CT), ordered)
+            return tau, pfrac.reshape(C, L, G)
+    tau, pfrac = tau_major_and_pfrac(kd, interp, resolves, g0, cellw=cellw)
+    tau = tau_minor(kd, interp, play, tlay, col_gas, tau, cellw=cellw)
+    return tau, pfrac
+
+
+def tau_majmin_and_rayleigh(kd: KDist, interp: Interp, play, tlay, col_gas,
+                            col_dry, resolves=None, g0=0, cellw=None):
+    """kmajor + krayl + MINOR in one Pallas pass (see
+    :func:`tau_majmin_and_pfrac`).  Returns (tau_abs_with_minor,
+    tau_rayleigh)."""
+    dtype = kd.kmajor_rows.dtype
+    if (cellw is not None and merge_minor_enabled()
+            and config.use_pallas() and dtype == jnp.float32):
+        prep = _minor_prep(kd, interp, play, tlay, col_gas)
+        if prep is not None:
+            from .pallas import interp_cellw_multi
+
+            tbl_m, rows_m, Mf, Ms, sc, ordered, CT = prep
+            C, L = interp.tropo.shape
+            G = kd.kmajor_rows.shape[2]
+            ntemp = kd.ntemp
+            it = np.arange(2, dtype=np.int32)[None, None, :]
+            rows_ray = ((interp.itropo01 * ntemp + interp.jtemp0)[:, :, None]
+                        + it).reshape(C * L, 2).astype(jnp.int32)
+            M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
+            M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
+            tau, kloc, upd = interp_cellw_multi(
+                [kd.kmajor_rows, kd.krayl_rows, tbl_m],
+                [cellw.rows, rows_ray, rows_m], cellw.V, [M2, M2m],
+                cellw.fp,
+                metas=(((0, 0, 1, 1), True, True, 0),
+                       ((0, 1), False, False, 0),
+                       ((0, 1), False, False, 1)),
+                neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
+                sc_ops=(2,), **_cellw_opts())
+            tau = _minor_stitch(tau.reshape(C, L, G),
+                                upd.reshape(C, L, CT), ordered)
+            fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
+            return tau, kloc.reshape(C, L, G) * fac
+    tau, ray = tau_major_and_rayleigh(kd, interp, col_gas, col_dry,
+                                      resolves, g0, cellw=cellw)
+    tau = tau_minor(kd, interp, play, tlay, col_gas, tau, cellw=cellw)
+    return tau, ray
 
 
 def tau_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry, cellw=None,

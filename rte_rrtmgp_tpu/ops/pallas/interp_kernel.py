@@ -369,25 +369,28 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
 CELL_ROWS = 8  # per-cell resolve rows in V: je0, je1, fm0..fm3, cm0, cm1
 
 
-def _kernel_cellw(metas, unroll, has_sc, rows_ref, *refs):
+def _kernel_cellw(metas, unroll, n_m2, sc_ops, rows_ref, *refs):
     """Cell-resolve variant: the per-g-point weight planes are computed
     IN-KERNEL from a g-independent per-cell resolve tensor instead of
     arriving as 8 precomputed (N, G) HBM planes.
 
     ``V_ref`` holds ``CELL_ROWS`` rows per cell — tropo-folded per-flavor
     vectors [je0, je1, fm0..3, cm0, cm1], each ``concat(x*tf, x*(1-tf))``
-    over the (padded) 2*nflav axis — and ``M2_ref`` is the static stacked
-    flavor mask (P, G).  One MXU matmul per ``unroll`` cells
-    ((unroll*8, P) @ (P, G), precision HIGHEST so fm weights stay exact
+    over the (padded) 2*nflav axis — and each ``M2`` is a static stacked
+    flavor mask (P, G_k).  One MXU matmul per ``unroll`` cells and M2
+    ((unroll*8, P) @ (P, G_k), precision HIGHEST so fm weights stay exact
     f32; the je/tropo rows are exact by the one-nonzero-product argument)
     replaces reading 8 G-wide plane rows per cell from HBM-built planes —
     the XLA plane-build fusions and their HBM round-trip disappear from
     the step (VERDICT r2 item 2).
 
-    Optional ``sc_ref``/``msc_ref`` (has_sc): a per-cell scaling vector
-    (S,) expanded through a second static placement matrix (S, G),
-    multiplied into the op outputs — the minor-gas pass's per-interval
-    scaling, folded in-kernel."""
+    Per-op M2 (``metas`` entry carries an index into the M2 list) lets ONE
+    pass serve ops with different g-axes — e.g. kmajor+planck+minor: the
+    minor op's axis is the concatenated contributor axis with its own
+    placement mask.  Ops in ``sc_ops`` get a per-cell scaling vector (S,)
+    expanded through a second static placement matrix (S, G) multiplied
+    into their output — the minor pass's per-interval scaling, folded
+    in-kernel."""
     any_fp = any(m[1] for m in metas)
     k = 0
     fp_ref = None
@@ -395,38 +398,47 @@ def _kernel_cellw(metas, unroll, has_sc, rows_ref, *refs):
         fp_ref = refs[0]
         k = 1
     V_ref = refs[k]
-    M2_ref = refs[k + 1]
-    k += 2
+    k += 1
+    M2_refs = refs[k:k + n_m2]
+    k += n_m2
     sc_ref = msc_ref = None
-    if has_sc:
+    if sc_ops:
         sc_ref, msc_ref = refs[k:k + 2]
         k += 2
     tables = refs[k:k + len(metas)]
     outs = refs[k + len(metas):]
     B = outs[0].shape[0]
-    G = outs[0].shape[1]
     dtype = outs[0].dtype
-    e_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (ETA_STRIDE, G), 0).astype(dtype)
+    iotas = {}
+    for o in outs:
+        w = o.shape[1]
+        if w not in iotas:
+            iotas[w] = jax.lax.broadcasted_iota(
+                jnp.int32, (ETA_STRIDE, w), 0).astype(dtype)
     hi = jax.lax.Precision.HIGHEST
 
-    def cell(b, res, res_s):
+    def cell(b, res_list, res_s):
         fp = fp_ref[b, 0] if any_fp else None
-        w_i = [None, None]
+        w_cache = {}
 
-        def weights(i):
-            if w_i[i] is None:
+        def weights(mk, i):
+            if (mk, i) not in w_cache:
+                res = res_list[mk]
                 je = res[i:i + 1, :]
+                e_iota = iotas[res.shape[1]]
                 sel0 = (e_iota == je).astype(dtype)
                 sel1 = (e_iota == je + 1).astype(dtype)
-                w_i[i] = (res[2 + 2 * i:3 + 2 * i, :] * sel0
-                          + res[3 + 2 * i:4 + 2 * i, :] * sel1)
-            return w_i[i]
+                w_cache[(mk, i)] = (res[2 + 2 * i:3 + 2 * i, :] * sel0
+                                    + res[3 + 2 * i:4 + 2 * i, :] * sel1)
+            return w_cache[(mk, i)]
 
         col = 0
         for iop, m in enumerate(metas):
             corner_itemp, has_fp, has_cm = m[:3]
+            mk = m[3] if len(m) > 3 else 0
+            res = res_list[mk]
             nc = len(corner_itemp)
+            G = outs[iop].shape[1]
             acc = jnp.zeros((1, G), dtype)
             if has_fp:
                 for i in (0, 1):
@@ -434,7 +446,8 @@ def _kernel_cellw(metas, unroll, has_sc, rows_ref, *refs):
                     r1 = rows_ref[b, col + 2 * i + 1] * ETA_STRIDE
                     slab = ((1.0 - fp) * tables[iop][pl.ds(r0, ETA_STRIDE), :]
                             + fp * tables[iop][pl.ds(r1, ETA_STRIDE), :])
-                    pair = jnp.sum(weights(i) * slab, axis=0, keepdims=True)
+                    pair = jnp.sum(weights(mk, i) * slab, axis=0,
+                                   keepdims=True)
                     if has_cm:
                         pair = pair * res[6 + i:7 + i, :]
                     acc = acc + pair
@@ -442,12 +455,12 @@ def _kernel_cellw(metas, unroll, has_sc, rows_ref, *refs):
                 for c, i in enumerate(corner_itemp):
                     r = rows_ref[b, col + c] * ETA_STRIDE
                     pair = jnp.sum(
-                        weights(i) * tables[iop][pl.ds(r, ETA_STRIDE), :],
+                        weights(mk, i) * tables[iop][pl.ds(r, ETA_STRIDE), :],
                         axis=0, keepdims=True)
                     if has_cm:
                         pair = pair * res[6 + i:7 + i, :]
                     acc = acc + pair
-            if has_sc:
+            if iop in sc_ops:
                 acc = acc * res_s
             outs[iop][b, :] = acc[0]
             col += nc
@@ -457,29 +470,30 @@ def _kernel_cellw(metas, unroll, has_sc, rows_ref, *refs):
         # arithmetic to i64, which the Mosaic verifier rejects.
         b0 = gi * np.int32(unroll)
         Vb = V_ref[pl.ds(b0 * np.int32(CELL_ROWS), unroll * CELL_ROWS), :]
-        res = jax.lax.dot_general(
+        res_all = [jax.lax.dot_general(
             Vb, M2_ref[...], (((1,), (0,)), ((), ())),
             precision=hi, preferred_element_type=dtype)
+            for M2_ref in M2_refs]
         res_s = None
-        if has_sc:
+        if sc_ops:
             res_s = jax.lax.dot_general(
                 sc_ref[pl.ds(b0, unroll), :], msc_ref[...],
                 (((1,), (0,)), ((), ())),
                 precision=hi, preferred_element_type=dtype)
         for u in range(unroll):
             cell(b0 + u,
-                 res[u * CELL_ROWS:(u + 1) * CELL_ROWS, :],
-                 res_s[u:u + 1, :] if has_sc else None)
+                 [r[u * CELL_ROWS:(u + 1) * CELL_ROWS, :] for r in res_all],
+                 res_s[u:u + 1, :] if sc_ops else None)
         return 0
 
     jax.lax.fori_loop(0, B // unroll, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("metas", "neta", "block",
-                                             "unroll"))
+                                             "unroll", "sc_ops"))
 def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
                        neta: int, block: int = 256, unroll: int = 4,
-                       sc=None, msc=None):
+                       sc=None, msc=None, sc_ops=None):
     """Multi-table interpolation with IN-KERNEL weight-plane resolves.
 
     Same op semantics as :func:`interp_rows_multi`, but instead of 8
@@ -489,25 +503,32 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
       cm0, cm1), each a tropo-folded flavor vector — g-independent, built
       ONCE per solve (``gas_optics.cell_resolves``) and shared across all
       spectral chunks and all interp passes,
-    * ``M2``  (P, G): static stacked flavor masks for THIS chunk's
-      g-points (a cheap column slice of the full-spectrum matrix),
+    * ``M2``  (P, G) or a LIST of such matrices: static stacked flavor
+      masks for THIS chunk's g-points (a cheap column slice of the
+      full-spectrum matrix).  A meta entry's optional 4th element is the
+      op's index into the M2 list (default 0) — ops with different g-axes
+      (e.g. kmajor + the minor contributor axis) then run in ONE pass,
     * ``fp``  (N,) pressure fraction or None,
     * ``sc``/``msc``: optional per-cell scaling vector (N, S) + placement
-      matrix (S, G), multiplied into every op output (minor-gas pass).
+      matrix (S, G), multiplied into the outputs of the ops listed in
+      ``sc_ops`` (default: every op) — the minor-gas per-interval scaling.
 
-    Returns a list of (N, G) outputs."""
+    Returns a list of per-op (N, G_op) outputs."""
     N = rows_list[0].shape[0]
-    G = M2.shape[1]
+    M2s = M2 if isinstance(M2, (list, tuple)) else [M2]
     dtype = tables[0].dtype
     any_fp = any(m[1] for m in metas)
-    assert all(len(m) <= 3 or not m[3] for m in metas), \
-        "cellw mode does not support dup2 lane-merged tables"
+    if sc is not None and sc_ops is None:
+        sc_ops = tuple(range(len(metas)))
+    sc_ops = tuple(sc_ops or ())
 
-    tbls = []
-    for t in tables:
-        assert t.shape[1] == neta and t.shape[2] == G, (t.shape, neta, G)
+    tbls, out_ws = [], []
+    for t, m in zip(tables, metas):
+        Gi = M2s[m[3] if len(m) > 3 else 0].shape[1]
+        assert t.shape[1] == neta and t.shape[2] == Gi, (t.shape, neta, Gi)
         tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
-        tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, G))
+        tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, Gi))
+        out_ws.append(Gi)
 
     rows = jnp.concatenate(rows_list, axis=1)
     P = V.shape[1]
@@ -539,9 +560,10 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
     operands.append(V)
     specs.append(pl.BlockSpec((block * CELL_ROWS, P), lambda ib: (ib, 0),
                               memory_space=pltpu.VMEM))
-    operands.append(M2)
-    specs.append(pl.BlockSpec(M2.shape, lambda ib: (0, 0),
-                              memory_space=pltpu.VMEM))
+    for m2 in M2s:
+        operands.append(m2)
+        specs.append(pl.BlockSpec(m2.shape, lambda ib: (0, 0),
+                                  memory_space=pltpu.VMEM))
     if sc is not None:
         operands.append(sc)
         specs.append(pl.BlockSpec((block, sc.shape[1]), lambda ib: (ib, 0),
@@ -555,12 +577,12 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
                                   memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
-        functools.partial(_kernel_cellw, metas, unroll, sc is not None),
+        functools.partial(_kernel_cellw, metas, unroll, len(M2s), sc_ops),
         grid=(n_pad // block,),
         in_specs=specs,
-        out_specs=[pl.BlockSpec((block, G), lambda ib: (ib, 0),
-                                memory_space=pltpu.VMEM)] * len(metas),
-        out_shape=[jax.ShapeDtypeStruct((n_pad, G), dtype)] * len(metas),
+        out_specs=[pl.BlockSpec((block, w), lambda ib: (ib, 0),
+                                memory_space=pltpu.VMEM) for w in out_ws],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, w), dtype) for w in out_ws],
     )(*operands)
     return [o[:N] if pad else o for o in outs]
 

@@ -475,4 +475,78 @@ def test_cellw_kernel_lowers_for_tpu():
         e2 = export.export(jax.jit(g), platforms=["tpu"])(tbl, rows2, V, M2,
                                                           sc, msc)
         assert [tuple(o.shape) for o in e2.out_avals] == [(N, G)]
+
+        # Merged form: per-op mask matrices + scaling on the last op only
+        # (the major+rayleigh+minor single-pass shape).
+        CT = 96
+        tblm = jnp.asarray(rng.random((12, E, CT), np.float32))
+        M2m = jnp.asarray(rng.random((P, CT), np.float32))
+        mscm = jnp.asarray(rng.random((3, CT), np.float32))
+
+        def h(tbl, tblm, rows, rows2, V, M2, M2m, fp, sc, mscm):
+            return interp_cellw_multi(
+                [tbl, tbl, tblm], [rows, rows2, rows2], V, [M2, M2m], fp,
+                metas=(((0, 0, 1, 1), True, True, 0),
+                       ((0, 1), False, False, 0),
+                       ((0, 1), False, False, 1)),
+                neta=E, block=32, unroll=8, sc=sc, msc=mscm, sc_ops=(2,))
+
+        e3 = export.export(jax.jit(h), platforms=["tpu"])(
+            tbl, tblm, rows, rows2, V, M2, M2m, fp, sc, mscm)
+        assert [tuple(o.shape) for o in e3.out_avals] == [(N, G), (N, G),
+                                                          (N, CT)]
     sys.setrecursionlimit(old_limit)
+
+
+def test_merged_minor_pass_matches_two_pass(monkeypatch):
+    """tau_majmin_and_{pfrac,rayleigh} (one kernel epoch: major tables +
+    the minor contributor axis with in-kernel scaling, per-op mask
+    matrices) == the two-pass form, chunked and unchunked."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from rte_rrtmgp_tpu.ops import gas_optics as go
+    from rte_rrtmgp_tpu import config as cfg
+
+    monkeypatch.setenv("RTE_RRTMGP_PALLAS", "1")
+    assert cfg.use_pallas() and go.merge_minor_enabled()
+    for lw in (True, False):
+        kd = small_kdist(longwave=lw)
+        kd = jax.tree.map(lambda a: a.astype(np.float32)
+                          if hasattr(a, "dtype") and a.dtype.kind == "f"
+                          else a, kd)
+        atm = small_atmos(ncol=3, nlay=5, seed=8)
+        vmr, col_dry = atmos_inputs(kd, atm)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        col_gas = go.build_col_gas(f32(vmr), f32(col_dry))
+        p, t = f32(atm["p_lay"]), f32(atm["t_lay"])
+        interp = go.interpolation(kd, p, t, col_gas)
+        with pltpu.force_tpu_interpret_mode():
+            cw = go.cellw_resolves(kd, interp)
+            assert cw is not None
+            for g0, g1 in ((0, kd.ngpt), (kd.ngpt // 2, kd.ngpt)):
+                kdc = kd.slice_gpt(g0, g1)
+                if lw:
+                    a2, b2 = go.tau_majmin_and_pfrac(
+                        kdc, interp, p, t, col_gas, g0=g0, cellw=cw)
+                    ta, pf = go.tau_major_and_pfrac(kdc, interp, g0=g0,
+                                                    cellw=cw)
+                    a1 = go.tau_minor(kdc, interp, p, t, col_gas, ta,
+                                      cellw=cw)
+                    b1 = pf
+                else:
+                    a2, b2 = go.tau_majmin_and_rayleigh(
+                        kdc, interp, p, t, col_gas, f32(col_dry), g0=g0,
+                        cellw=cw)
+                    ta, b1 = go.tau_major_and_rayleigh(
+                        kdc, interp, col_gas, f32(col_dry), g0=g0, cellw=cw)
+                    a1 = go.tau_minor(kdc, interp, p, t, col_gas, ta,
+                                      cellw=cw)
+                np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                           rtol=2e-6, atol=1e-30)
+                np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                           rtol=2e-6, atol=1e-30)
