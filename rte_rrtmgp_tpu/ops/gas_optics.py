@@ -768,11 +768,21 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau,
 def merge_minor_enabled() -> bool:
     """Whether the cellw path folds the minor pass into the main interp
     pass (one kernel epoch per chunk instead of two — the 'fewer passes'
-    lever from PERF.md).  Env knob for the on-hardware A/B."""
+    lever from PERF.md).  Env > persisted autotune winner > default on."""
     import os
 
-    return os.environ.get("RTE_RRTMGP_PALLAS_MERGE_MINOR", "1") not in (
-        "0", "false", "off")
+    env = os.environ.get("RTE_RRTMGP_PALLAS_MERGE_MINOR")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        from ..utils import tuner
+
+        t = tuner.best_kernel_opts() or {}
+        if t.get("merge_minor") is not None:
+            return bool(t["merge_minor"])
+    except Exception:
+        pass
+    return True
 
 
 def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,

@@ -13,6 +13,7 @@ set -x
 #    exposed DMA (target < 25 ms/step, VERDICT r2 item 2).
 BENCH_RT=0 timeout 1800 python -u bench.py
 BENCH_RT=0 RTE_RRTMGP_PALLAS_CELLW=0 timeout 1800 python -u bench.py
+BENCH_RT=0 RTE_RRTMGP_PALLAS_MERGE_MINOR=0 timeout 1800 python -u bench.py
 
 # 2) Tables-as-jit-arguments A/B (r2 carry-over; also compare cold compile).
 BENCH_RT=0 BENCH_TABLES_ARGS=1 timeout 1800 python -u bench.py

@@ -81,6 +81,9 @@ def main():
                 candidates.append({"gpt_chunk": chunk, "pallas": 1,
                                    "block": 256, "unroll": unroll,
                                    "cellw": cellw})
+    # cellw with the minor pass split back out (merge A/B).
+    candidates.append({"gpt_chunk": 128, "pallas": 1, "block": 256,
+                       "unroll": 8, "cellw": 1, "merge_minor": 0})
 
     results = []
     for cand in candidates:
@@ -89,6 +92,8 @@ def main():
         env["RTE_RRTMGP_PALLAS_BLOCK"] = str(cand["block"] or 256)
         env["RTE_RRTMGP_PALLAS_UNROLL"] = str(cand.get("unroll") or 4)
         env["RTE_RRTMGP_PALLAS_CELLW"] = str(cand.get("cellw", 1))
+        env["RTE_RRTMGP_PALLAS_MERGE_MINOR"] = str(
+            cand.get("merge_minor", 1))
         env["TUNE_NCOL"], env["TUNE_NLAY"] = str(NCOL), str(NLAY)
         try:
             proc = subprocess.run(
