@@ -103,15 +103,56 @@ def enable_compilation_cache(path: str | None = None) -> None:
               file=sys.stderr)
 
 
+_PALLAS_OVERRIDE = None
+
+
+def pallas_override(value):
+    """Context manager pinning :func:`use_pallas` during a trace.
+
+    The shard_map execution path (parallel/sharded.py) traces the
+    single-chip pipeline once per shard context; inside a shard the Pallas
+    kernels are legal again even though the GLOBAL device count is > 1, so
+    the wrapper re-enables them for the trace."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global _PALLAS_OVERRIDE
+        old = _PALLAS_OVERRIDE
+        _PALLAS_OVERRIDE = value
+        try:
+            yield
+        finally:
+            _PALLAS_OVERRIDE = old
+
+    return _ctx()
+
+
+def use_pallas_single_device() -> bool:
+    """The single-chip Pallas decision (env > backend), ignoring the
+    device count — what a per-shard program should use."""
+    env = os.environ.get("RTE_RRTMGP_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def use_pallas() -> bool:
     """Whether to dispatch hot gas-optics interpolation to the Pallas TPU
     kernels (ops/pallas/).  Default: on for single-chip TPU execution;
     force with RTE_RRTMGP_PALLAS=1/0.
 
     Multi-device runs default to the pure-XLA path: a pallas_call is a
-    custom call the SPMD partitioner cannot split over a sharded mesh (it
-    would need an explicit shard_map wrapper, which the ops layer cannot
-    apply without knowing the caller's mesh)."""
+    custom call the SPMD partitioner cannot split over a sharded mesh.
+    The shard_map execution path (parallel/sharded.py) re-enables the
+    kernels per shard via :func:`pallas_override`."""
+    if _PALLAS_OVERRIDE is not None:
+        return _PALLAS_OVERRIDE
     env = os.environ.get("RTE_RRTMGP_PALLAS")
     if env is not None:
         return env not in ("0", "false", "off")

@@ -327,11 +327,16 @@ class RadiationSolverLW(_SolverBase):
               gpt_chunk: Optional[int] = None, output_bnd_fluxes: bool = False,
               n_gauss_angles: int = 1, dtype=None,
               output_optical: bool = False, with_fluxes: bool = True,
-              check_inputs: bool = True) -> dict:
+              check_inputs: bool = True, mesh=None) -> dict:
         """emis_sfc: (ncol, nbnd) surface emissivity per band.
 
         Cloud fields (lwp/iwp in g m-2, rel/dei in micron) enable the
         cloudy-sky path when provided.
+
+        ``mesh``: a cols-only ``jax.sharding.Mesh`` runs the solve under
+        shard_map — every device executes the full single-chip pipeline
+        (including the fused Pallas kernels) on its column shard
+        (parallel/sharded.py).
         """
         dtype = dtype or jnp.asarray(p_lay).dtype
         if check_inputs:
@@ -342,18 +347,25 @@ class RadiationSolverLW(_SolverBase):
         col_dry = self._col_dry(gas_concs, p_lev, col_dry, dtype)
         zeros = jnp.zeros(np.asarray(p_lay).shape, dtype)
         cast = lambda a: jnp.asarray(a, dtype)
-        return _solve_lw_impl(
+        args = (
             self.kdist, self.cloud_lut,
             cast(p_lay), cast(p_lev), cast(t_lay), cast(t_lev), cast(t_sfc),
             vmr, col_dry, cast(emis_sfc),
             cast(lwp) if with_clouds else zeros,
             cast(iwp) if with_clouds else zeros,
             cast(rel) if with_clouds else zeros,
-            cast(dei) if with_clouds else zeros,
+            cast(dei) if with_clouds else zeros)
+        statics = dict(
             top_at_1=top_at_1, gpt_chunk=gpt_chunk,
             output_bnd_fluxes=output_bnd_fluxes,
             n_gauss_angles=n_gauss_angles, with_clouds=with_clouds,
             output_optical=output_optical, with_fluxes=with_fluxes)
+        if mesh is not None:
+            from ..parallel.sharded import sharded_columns_call
+
+            return sharded_columns_call(mesh, _solve_lw_impl, 2, args,
+                                        statics)
+        return _solve_lw_impl(*args, **statics)
 
 
 class RadiationSolverSW(_SolverBase):
@@ -366,8 +378,12 @@ class RadiationSolverSW(_SolverBase):
               gpt_chunk: Optional[int] = None, output_bnd_fluxes: bool = False,
               delta_cloud: bool = False, delta_aerosol: bool = False,
               dtype=None, output_optical: bool = False,
-              with_fluxes: bool = True, check_inputs: bool = True) -> dict:
-        """sfc_alb_*: (ncol, nbnd); mu0: (ncol,); aermr: (ncol, nlay, 11)."""
+              with_fluxes: bool = True, check_inputs: bool = True,
+              mesh=None) -> dict:
+        """sfc_alb_*: (ncol, nbnd); mu0: (ncol,); aermr: (ncol, nlay, 11).
+
+        ``mesh``: cols-only mesh -> shard_map execution (see
+        RadiationSolverLW.solve)."""
         dtype = dtype or jnp.asarray(p_lay).dtype
         if check_inputs:
             self._validate(p_lay, p_lev, t_lay, col_dry=col_dry)
@@ -382,7 +398,7 @@ class RadiationSolverSW(_SolverBase):
         if tsi_scaling is None:
             tsi_scaling = jnp.ones((ncol,), dtype)
         cast = lambda a: jnp.asarray(a, dtype)
-        return _solve_sw_impl(
+        args = (
             self.kdist, self.cloud_lut, self.aerosol_lut,
             cast(p_lay), cast(p_lev), cast(t_lay), vmr, col_dry,
             cast(sfc_alb_dir), cast(sfc_alb_dif), cast(tsi_scaling), cast(mu0),
@@ -391,9 +407,16 @@ class RadiationSolverSW(_SolverBase):
             cast(rel) if with_clouds else zeros,
             cast(dei) if with_clouds else zeros,
             cast(rh) if with_aerosols else zeros,
-            cast(aermr) if with_aerosols else zeros3,
+            cast(aermr) if with_aerosols else zeros3)
+        statics = dict(
             top_at_1=top_at_1, gpt_chunk=gpt_chunk,
             output_bnd_fluxes=output_bnd_fluxes,
             with_clouds=with_clouds, with_aerosols=with_aerosols,
             delta_cloud=delta_cloud, delta_aerosol=delta_aerosol,
             output_optical=output_optical, with_fluxes=with_fluxes)
+        if mesh is not None:
+            from ..parallel.sharded import sharded_columns_call
+
+            return sharded_columns_call(mesh, _solve_sw_impl, 3, args,
+                                        statics)
+        return _solve_sw_impl(*args, **statics)

@@ -70,3 +70,63 @@ def test_sharding_is_actually_distributed(setup):
     shards = sharded["p_lay"].addressable_shards
     assert len(shards) == 8
     assert shards[0].data.shape[0] == arrs["p_lay"].shape[0] // 8
+
+
+def test_shard_map_solver_matches_single_device(setup):
+    """RadiationSolver*.solve(mesh=...) runs the full single-chip pipeline
+    per column shard via shard_map (parallel/sharded.py) — the execution
+    path that keeps the fused Pallas kernels alive on multi-chip meshes.
+    Fluxes must match the unsharded solve exactly (no communication in
+    the solve)."""
+    from rte_rrtmgp_tpu.models import (GasConcs, RadiationSolverLW,
+                                       RadiationSolverSW)
+    from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+
+    ge, kd_lw, kd_sw, clut_lw, clut_sw, arrs = setup
+    atm = make_atmosphere(16, 8, seed=2)
+    emis = np.full((16, kd_lw.nbnd), 0.98)
+    alb = np.full((16, kd_sw.nbnd), 0.06)
+    mesh8 = make_mesh((8,), ("cols",), devices=jax.devices()[:8])
+
+    lw = RadiationSolverLW(kd_lw, clut_lw)
+    common = dict(gas_concs=atm["gas_concs"], p_lay=atm["p_lay"],
+                  p_lev=atm["p_lev"], t_lay=atm["t_lay"])
+    one = lw.solve(t_lev=atm["t_lev"], t_sfc=atm["t_sfc"], emis_sfc=emis,
+                   lwp=atm["lwp"], iwp=atm["iwp"], rel=atm["rel"],
+                   dei=atm["dei"], **common)
+    sh = lw.solve(t_lev=atm["t_lev"], t_sfc=atm["t_sfc"], emis_sfc=emis,
+                  lwp=atm["lwp"], iwp=atm["iwp"], rel=atm["rel"],
+                  dei=atm["dei"], mesh=mesh8, **common)
+    for k in ("lw_flux_up", "lw_flux_dn"):
+        np.testing.assert_allclose(np.asarray(sh[k]), np.asarray(one[k]),
+                                   rtol=1e-12, err_msg=k)
+
+    sw = RadiationSolverSW(kd_sw, clut_sw)
+    one = sw.solve(mu0=atm["mu0"], sfc_alb_dir=alb, sfc_alb_dif=alb,
+                   lwp=atm["lwp"], iwp=atm["iwp"], rel=atm["rel"],
+                   dei=atm["dei"], delta_cloud=True, **common)
+    sh = sw.solve(mu0=atm["mu0"], sfc_alb_dir=alb, sfc_alb_dif=alb,
+                  lwp=atm["lwp"], iwp=atm["iwp"], rel=atm["rel"],
+                  dei=atm["dei"], delta_cloud=True, mesh=mesh8, **common)
+    for k in ("sw_flux_up", "sw_flux_dn", "sw_flux_dn_dir"):
+        np.testing.assert_allclose(np.asarray(sh[k]), np.asarray(one[k]),
+                                   rtol=1e-12, err_msg=k)
+
+    # Sharded outputs actually live across the mesh.
+    assert len(sh["sw_flux_dn"].addressable_shards) == 8
+
+
+def test_shard_map_rejects_indivisible_columns(setup):
+    from rte_rrtmgp_tpu.models import RadiationSolverLW
+    from rte_rrtmgp_tpu.cases.profiles import make_atmosphere
+
+    ge, kd_lw, _, clut_lw, _, _ = setup
+    atm = make_atmosphere(10, 8, seed=3)   # 10 cols over 8 shards
+    emis = np.full((10, kd_lw.nbnd), 0.98)
+    mesh8 = make_mesh((8,), ("cols",), devices=jax.devices()[:8])
+    lw = RadiationSolverLW(kd_lw, clut_lw)
+    with pytest.raises(ValueError, match="divide"):
+        lw.solve(gas_concs=atm["gas_concs"], p_lay=atm["p_lay"],
+                 p_lev=atm["p_lev"], t_lay=atm["t_lay"],
+                 t_lev=atm["t_lev"], t_sfc=atm["t_sfc"], emis_sfc=emis,
+                 mesh=mesh8)
