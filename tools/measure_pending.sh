@@ -55,3 +55,10 @@ timeout 3600 python -u tools/crosscheck.py
 timeout 1800 python -u tools/dump_hlo.py /tmp/step_hlo_tpu.txt
 grep -c "copy(" /tmp/step_hlo_tpu.txt
 timeout 1800 python -u tools/profile_step.py
+
+# 9) Multi-chip note: single real chip only — the shard_map execution path
+#    (Pallas kernels per column shard) is validated on the virtual mesh:
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+    timeout 1200 python -u tools/scaling_bench.py --platform cpu \
+    --devices 1 2 4 8 --ncol-per-device 64 --nlay 24 --gpt-per-band 4 \
+    --mode shardmap

@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu for virtual devices)")
+    ap.add_argument("--mode", choices=("annotate", "shardmap"),
+                    default="annotate",
+                    help="annotate: sharding annotations + SPMD partitioner "
+                         "(pure-XLA kernels); shardmap: per-shard full "
+                         "pipeline incl. the fused Pallas kernels "
+                         "(parallel/sharded.py)")
     args = ap.parse_args()
 
     import jax
@@ -63,10 +69,22 @@ def main():
             mesh, {k: jnp.asarray(arrs[k]) for k in names})
         cl_lw, cl_sw = replicate(mesh, (clut_lw, clut_sw))
         kdl, kds = replicate(mesh, (kd_lw, kd_sw))
-        step = jax.jit(ge.make_step(kdl, kds, cl_lw, cl_sw,
-                                    gpt_chunk=args.gpt_chunk))
-
         a = [sharded[k] for k in names]
+        if args.mode == "shardmap":
+            from rte_rrtmgp_tpu.parallel.sharded import sharded_columns_call
+
+            body = ge.make_step(None, None, None, None,
+                                gpt_chunk=args.gpt_chunk,
+                                tables_as_args=True)
+            tables = (kdl, kds, cl_lw, cl_sw)
+
+            def step(*atm):
+                return sharded_columns_call(mesh, body, 4,
+                                            tables + tuple(atm), {})
+        else:
+            step = jax.jit(ge.make_step(kdl, kds, cl_lw, cl_sw,
+                                        gpt_chunk=args.gpt_chunk))
+
         out = step(*a)
         warm = float(np.asarray(out["lw_flux_up"]).ravel()[0])
         assert np.isfinite(warm)
@@ -85,6 +103,7 @@ def main():
             "colgpt_per_s": round(ncol * ngpt / dt, 1),
             "ms_per_step": round(dt * 1e3, 2),
             "platform": devices[0].platform,
+            "mode": args.mode,
         }), flush=True)
 
 
