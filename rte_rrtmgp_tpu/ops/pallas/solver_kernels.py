@@ -41,7 +41,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import config
 
 LVLP = 128  # flux-level lane tile quantum
-VMEM_BUDGET = 14 * 2**20  # leave headroom under the 16 MB scoped limit
+# Mosaic's default scoped-VMEM check is 16 MB, far under the chip's 128 MB
+# VMEM; deep grids (the reference's 256-layer RCEMIP) need more, so every
+# solver pallas_call requests a raised cap and the block sizing targets a
+# budget with headroom below it.  Budget accounting must count the Pallas
+# input/output pipeline DOUBLE buffers (measured on-chip: a block=16
+# 256-layer LW sweep allocates 18.1 MB where the naive single-buffer
+# estimate says 12.7 MB).
+VMEM_LIMIT = 96 * 2**20
+VMEM_BUDGET = 64 * 2**20
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
 
 def _lvl_tile(nlev: int) -> int:
@@ -49,9 +58,8 @@ def _lvl_tile(nlev: int) -> int:
 
 
 def _fit_block(block: int, bytes_per_col: int, min_block: int = 8) -> int:
-    """Largest power-of-two block <= ``block`` whose VMEM working set fits
-    the scoped budget (deep grids: nlay*G lanes per buffer grow past the
-    16 MB limit at the tuned block size)."""
+    """Largest power-of-two block <= ``block`` whose VMEM working set
+    (double-buffered ins/outs + scratch, per column) fits the budget."""
     while block > min_block and block * bytes_per_col > VMEM_BUDGET:
         block //= 2
     return block
@@ -125,11 +133,11 @@ def lw_sweep_broadband(tau, lay_src, lev_src, sfc_emis, sfc_src, sfc_src_jac,
     nlev = nlay + 1
     lvlp = _lvl_tile(nlev)
     dtype = tau.dtype
-    # Working set per column: 3 layer-plane inputs + 2 scratches (5 x
-    # nlay*G... lev is nlev*G), 4 G-wide inputs, 3 lvlp-wide outputs.
+    # Working set per column: double-buffered ins/outs (2 layer planes +
+    # 1 level plane + 4 G-wide in, 3 lvlp-wide out) + 2 single scratches.
     itemsize = jnp.dtype(dtype).itemsize
-    block = _fit_block(block, (5 * nlay * G + nlev * G + 4 * G + 3 * lvlp)
-                       * itemsize)
+    block = _fit_block(block, (2 * (2 * nlay * G + nlev * G + 4 * G
+                                    + 3 * lvlp) + 2 * nlay * G) * itemsize)
 
     pad = (-ncol) % block
     if pad:
@@ -157,6 +165,7 @@ def lw_sweep_broadband(tau, lay_src, lev_src, sfc_emis, sfc_src, sfc_src_jac,
         out_specs=[out_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, lvlp), dtype)] * 3,
         scratch_shapes=[pltpu.VMEM((block, nlay * G), dtype)] * 2,
+        compiler_params=_PARAMS,
     )(tau2, lay2, lev2, sfc_emis, sfc_src, sfc_src_jac, inc_flux)
     return up[:ncol, :nlev], dn[:ncol, :nlev], jac[:ncol, :nlev]
 
@@ -271,11 +280,11 @@ def sw_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
     dtype = tau.dtype
     if inc_flux_dif is None:
         inc_flux_dif = jnp.zeros_like(inc_flux_dir)
-    # 3 layer-plane inputs + 4 layer + 2 level scratches, 5 G-wide inputs,
-    # 3 lvlp-wide outputs.
+    # Double-buffered ins/outs (3 layer planes + 5 G-wide in, 3 lvlp-wide
+    # out) + single scratches (4 layer + 2 level).
     itemsize = jnp.dtype(dtype).itemsize
-    block = _fit_block(block, (7 * nlay * G + 2 * nlev * G + 5 * G
-                               + 3 * lvlp) * itemsize)
+    block = _fit_block(block, (2 * (3 * nlay * G + 5 * G + 3 * lvlp)
+                               + 4 * nlay * G + 2 * nlev * G) * itemsize)
 
     pad = (-ncol) % block
     if pad:
@@ -306,6 +315,7 @@ def sw_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
         out_specs=[out_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, lvlp), dtype)] * 3,
         scratch_shapes=[lay_scr] * 4 + [lev_scr] * 2,
+        compiler_params=_PARAMS,
     )(tau2, ssa2, g2, mu0.reshape(n, 1), sfc_alb_dir, sfc_alb_dif,
       inc_flux_dir, inc_flux_dif)
     up = up[:ncol, :nlev]
