@@ -406,7 +406,9 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, rows_ref, *refs):
         sc_ref, msc_ref = refs[k:k + 2]
         k += 2
     tables = refs[k:k + len(metas)]
-    outs = refs[k + len(metas):]
+    outs = refs[k + len(metas):k + 2 * len(metas)]
+    res_scrs = refs[k + 2 * len(metas):k + 2 * len(metas) + n_m2]
+    scs_scr = refs[-1] if sc_ops else None
     B = outs[0].shape[0]
     dtype = outs[0].dtype
     iotas = {}
@@ -465,21 +467,31 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, rows_ref, *refs):
             outs[iop][b, :] = acc[0]
             col += nc
 
+    # Whole-block resolve pre-pass: ONE (B*8, P) @ (P, G) MXU matmul per
+    # mask matrix into VMEM scratch, instead of one small matmul per
+    # unroll group inside the loop (measured: the per-group matmuls made
+    # the cellw kernels ~40% slower than the plane-fed ones — MXU issue
+    # latency at (unroll*8, P) sizes dominated the work).
+    dn = (((1,), (0,)), ((), ()))
+    for r_scr, M2_ref in zip(res_scrs, M2_refs):
+        r_scr[...] = jax.lax.dot_general(
+            V_ref[...], M2_ref[...], dn,
+            precision=hi, preferred_element_type=dtype)
+    if sc_ops:
+        scs_scr[...] = jax.lax.dot_general(
+            sc_ref[...], msc_ref[...], dn,
+            precision=hi, preferred_element_type=dtype)
+
     def body(gi, _):
         # np.int32 constants: under x64 bare Python ints promote the index
         # arithmetic to i64, which the Mosaic verifier rejects.
         b0 = gi * np.int32(unroll)
-        Vb = V_ref[pl.ds(b0 * np.int32(CELL_ROWS), unroll * CELL_ROWS), :]
-        res_all = [jax.lax.dot_general(
-            Vb, M2_ref[...], (((1,), (0,)), ((), ())),
-            precision=hi, preferred_element_type=dtype)
-            for M2_ref in M2_refs]
+        res_all = [r_scr[pl.ds(b0 * np.int32(CELL_ROWS),
+                               unroll * CELL_ROWS), :]
+                   for r_scr in res_scrs]
         res_s = None
         if sc_ops:
-            res_s = jax.lax.dot_general(
-                sc_ref[pl.ds(b0, unroll), :], msc_ref[...],
-                (((1,), (0,)), ((), ())),
-                precision=hi, preferred_element_type=dtype)
+            res_s = scs_scr[pl.ds(b0, unroll), :]
         for u in range(unroll):
             cell(b0 + u,
                  [r[u * CELL_ROWS:(u + 1) * CELL_ROWS, :] for r in res_all],
@@ -576,6 +588,10 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
         specs.append(pl.BlockSpec(t.shape, lambda ib: (0, 0),
                                   memory_space=pltpu.VMEM))
 
+    scratch = [pltpu.VMEM((block * CELL_ROWS, m2.shape[1]), dtype)
+               for m2 in M2s]
+    if sc is not None:
+        scratch.append(pltpu.VMEM((block, msc.shape[1]), dtype))
     outs = pl.pallas_call(
         functools.partial(_kernel_cellw, metas, unroll, len(M2s), sc_ops),
         grid=(n_pad // block,),
@@ -583,6 +599,7 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
         out_specs=[pl.BlockSpec((block, w), lambda ib: (ib, 0),
                                 memory_space=pltpu.VMEM) for w in out_ws],
         out_shape=[jax.ShapeDtypeStruct((n_pad, w), dtype) for w in out_ws],
+        scratch_shapes=scratch,
     )(*operands)
     return [o[:N] if pad else o for o in outs]
 
