@@ -536,7 +536,8 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
             tau, kloc = interp_cellw_multi(
                 [kd.kmajor_rows, kd.krayl_rows],
                 [cellw.rows, rows_ray], cellw.V, M2, cellw.fp,
-                metas=(((0, 0, 1, 1), True, True), ((0, 1), False, False)),
+                metas=(((0, 0, 1, 1), True, True),
+                       ((0, 1), False, False, 0, True)),
                 neta=kd.neta, **_cellw_opts())
             fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
             return tau.reshape(C, L, G), kloc.reshape(C, L, G) * fac
@@ -703,7 +704,7 @@ def tau_minor(kd: KDist, interp: Interp, play, tlay, col_gas, tau,
             M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
             (upd_flat,) = interp_cellw_multi(
                 [tbl], [rows], cellw.V, M2m, None,
-                metas=(((0, 1), False, False),), neta=kd.neta,
+                metas=(((0, 1), False, False, 0, True),), neta=kd.neta,
                 sc=sc, msc=jnp.asarray(Ms, dtype), **_cellw_opts())
             upd_all = upd_flat.reshape(C, L, CT)
         else:
@@ -810,7 +811,7 @@ def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
                 cellw.fp,
                 metas=(((0, 0, 1, 1), True, True, 0),
                        ((0, 0, 1, 1), True, False, 0),
-                       ((0, 1), False, False, 1)),
+                       ((0, 1), False, False, 1, True)),
                 neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
                 sc_ops=(2,), **_cellw_opts())
             tau = _minor_stitch(tau.reshape(C, L, G),
@@ -847,8 +848,8 @@ def tau_majmin_and_rayleigh(kd: KDist, interp: Interp, play, tlay, col_gas,
                 [cellw.rows, rows_ray, rows_m], cellw.V, [M2, M2m],
                 cellw.fp,
                 metas=(((0, 0, 1, 1), True, True, 0),
-                       ((0, 1), False, False, 0),
-                       ((0, 1), False, False, 1)),
+                       ((0, 1), False, False, 0, True),
+                       ((0, 1), False, False, 1, True)),
                 neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
                 sc_ops=(2,), **_cellw_opts())
             tau = _minor_stitch(tau.reshape(C, L, G),

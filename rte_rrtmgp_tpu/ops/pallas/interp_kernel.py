@@ -438,18 +438,42 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, rows_ref, *refs):
         for iop, m in enumerate(metas):
             corner_itemp, has_fp, has_cm = m[:3]
             mk = m[3] if len(m) > 3 else 0
+            adj = m[4] if len(m) > 4 else False
             res = res_list[mk]
             nc = len(corner_itemp)
             G = outs[iop].shape[1]
             acc = jnp.zeros((1, G), dtype)
             if has_fp:
+                # 4-corner (i0p0, i0p1, i1p0, i1p1): the temperature
+                # corners are ADJACENT table rows (r(i1,p) = r(i0,p)+1,
+                # _slab_rows builds r = (p0+dp)*ntemp + jt0 + i), so ONE
+                # 32-row slice per pressure fetches both — the per-cell
+                # dynamic-slice count (the dominant per-cell cost on this
+                # hardware) halves vs slicing per corner.
+                r0 = rows_ref[b, col] * ETA_STRIDE
+                r1 = rows_ref[b, col + 1] * ETA_STRIDE
+                slab = ((1.0 - fp)
+                        * tables[iop][pl.ds(r0, 2 * ETA_STRIDE), :]
+                        + fp * tables[iop][pl.ds(r1, 2 * ETA_STRIDE), :])
                 for i in (0, 1):
-                    r0 = rows_ref[b, col + 2 * i] * ETA_STRIDE
-                    r1 = rows_ref[b, col + 2 * i + 1] * ETA_STRIDE
-                    slab = ((1.0 - fp) * tables[iop][pl.ds(r0, ETA_STRIDE), :]
-                            + fp * tables[iop][pl.ds(r1, ETA_STRIDE), :])
-                    pair = jnp.sum(weights(mk, i) * slab, axis=0,
-                                   keepdims=True)
+                    pair = jnp.sum(
+                        weights(mk, i)
+                        * slab[i * ETA_STRIDE:(i + 1) * ETA_STRIDE, :],
+                        axis=0, keepdims=True)
+                    if has_cm:
+                        pair = pair * res[6 + i:7 + i, :]
+                    acc = acc + pair
+            elif adj and corner_itemp == (0, 1):
+                # 2-corner op whose rows are declared temperature-adjacent
+                # (e.g. krayl: r = itropo*ntemp + jt0 + i): one 32-row
+                # slice serves both corners.
+                r = rows_ref[b, col] * ETA_STRIDE
+                slab = tables[iop][pl.ds(r, 2 * ETA_STRIDE), :]
+                for i in (0, 1):
+                    pair = jnp.sum(
+                        weights(mk, i)
+                        * slab[i * ETA_STRIDE:(i + 1) * ETA_STRIDE, :],
+                        axis=0, keepdims=True)
                     if has_cm:
                         pair = pair * res[6 + i:7 + i, :]
                     acc = acc + pair

@@ -30,15 +30,21 @@ ITERS = 3
 
 def make_fields(nz, ny, nx, seed=0):
     """Idealized RCEMIP-ish single-g-point optics: exponential gas profile
-    with Rayleigh scattering + a broken cloud deck."""
+    with Rayleigh scattering + a broken cloud deck.  The gas extinction is
+    normalized to a FIXED column optical depth (the nz=64 value) so deeper
+    grids refine the same atmosphere instead of thickening it — at the
+    un-normalized 256-layer depth the column hit ~12 optical depths and no
+    photon reached the surface."""
     rng = np.random.default_rng(seed)
     z = (np.arange(nz) + 0.5) / nz
-    k_gas = (0.3e-3 * np.exp(-3.0 * z))[:, None, None] * np.ones((nz, ny, nx))
+    k_gas = (64.0 / nz) * (
+        0.3e-3 * np.exp(-3.0 * z))[:, None, None] * np.ones((nz, ny, nx))
     ssa_gas = 0.3
     cloud = np.zeros((nz, ny, nx), np.float32)
     deck = (rng.random((ny, nx)) < 0.4)
     zc0, zc1 = int(0.2 * nz), int(0.3 * nz)
-    cloud[zc0:zc1] = 10e-3 * deck * rng.uniform(0.5, 1.5, (zc1 - zc0, ny, nx))
+    cloud[zc0:zc1] = (64.0 / nz) * 10e-3 * deck \
+        * rng.uniform(0.5, 1.5, (zc1 - zc0, ny, nx))
     k_ext = (k_gas + cloud).astype(np.float32)
     k_sca_gas = (k_gas * ssa_gas).astype(np.float32)
     k_sca_cld = (cloud * 0.9999).astype(np.float32)
