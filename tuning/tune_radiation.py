@@ -84,6 +84,16 @@ def main():
     # cellw with the minor pass split back out (merge A/B).
     candidates.append({"gpt_chunk": 128, "pallas": 1, "block": 256,
                        "unroll": 8, "cellw": 1, "merge_minor": 0})
+    # Block/unroll extremes for the hoisted whole-block resolve (one
+    # resolve matmul per block: larger blocks amortize it further).
+    candidates += [
+        {"gpt_chunk": 128, "pallas": 1, "block": 512, "unroll": 8,
+         "cellw": 1},
+        {"gpt_chunk": 128, "pallas": 1, "block": 128, "unroll": 8,
+         "cellw": 1},
+        {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 16,
+         "cellw": 1},
+    ]
 
     results = []
     for cand in candidates:
