@@ -209,13 +209,19 @@ def trace_rays(key,
 
     # One packed row per cell -> a single row gather per step instead of
     # six element gathers (TPU gathers cost per INDEX, not per byte).
+    # The 8th slot carries the COLUMN's surface albedo: the crossing and
+    # collision branches are disjoint per lane, so one merged row gather
+    # (index = surface pixel for crossing lanes, collision cell otherwise)
+    # also serves the surface-reflection albedo read — the separate
+    # (ncell,) gather measured as expensive as the whole 8-wide row gather
+    # (per-INDEX cost; tools/profile_rt.py trace, PERF.md round 3).
     reff_col = (r_eff.reshape(-1) if r_eff is not None
                 else jnp.zeros(ncell * nz, dtype))
+    alb = surface_albedo.reshape(-1)
     fields = jnp.stack([
         k_ext.reshape(-1), k_sca_gas.reshape(-1), k_sca_cld.reshape(-1),
         k_sca_aer.reshape(-1), asy_cld.reshape(-1), asy_aer.reshape(-1),
-        reff_col, jnp.zeros(ncell * nz, dtype)], axis=1)   # (ncell*nz, 8)
-    alb = surface_albedo.reshape(-1)
+        reff_col, jnp.tile(alb, nz)], axis=1)              # (ncell*nz, 8)
     knull_flat = k_null_grid.reshape(-1)
     use_mie = mie_cdf is not None
 
@@ -260,10 +266,11 @@ def trace_rays(key,
     )
     counts = dict(
         toa_down=jnp.zeros(ncell, dtype).at[pix_all].add(1.0),
-        # packed (tod_up, sfc_dir, sfc_dif, sfc_up) per pixel
-        sfc=jnp.zeros((ncell, 4), dtype),
-        # packed (direct, diffuse) absorption per cell
-        absorb=jnp.zeros((ncell * nz, 2), dtype),
+        # one packed accumulator: rows [0, ncell*nz) = per-cell
+        # (absorb_dir, absorb_dif, -, -), rows [ncell*nz, +ncell) =
+        # per-pixel (tod_up, sfc_dir, sfc_dif, sfc_up) — both event
+        # classes score through ONE scatter per step (disjoint branches).
+        acc=jnp.zeros((ncell * nz + ncell, 4), dtype),
     )
 
     def cell_index(p, d, n, nmax):
@@ -332,24 +339,6 @@ def trace_rays(key,
         m_tod = m_cross & hit_tod & ~hit_sfc
         m_pass = m_cross & ~hit_sfc & ~hit_tod
 
-        w = state.weight
-        counts = dict(counts)
-        w_sfc = w * alb[pix_s]
-        # one packed scatter: (tod_up, sfc_dir, sfc_dif, sfc_up)
-        sfc_vals = jnp.stack([
-            jnp.where(m_tod, w, 0.0),
-            jnp.where(m_sfc & state.is_direct, w, 0.0),
-            jnp.where(m_sfc & ~state.is_direct, w, 0.0),
-            jnp.where(m_sfc, w_sfc, 0.0)], axis=1)
-        counts["sfc"] = counts["sfc"].at[pix_s].add(sfc_vals)
-
-        # Russian roulette after surface reflection.
-        w_after = jnp.where(m_sfc, w_sfc, w)
-        roulette = m_sfc & (w_after < W_THRES)
-        w_after = jnp.where(roulette,
-                            jnp.where(u[1] > w_after, 0.0, 1.0), w_after)
-        sfc_alive = m_sfc & (w_after > 0.0)
-
         # Lambertian reflection for surviving surface hits.
         mu_r = jnp.sqrt(u[3])
         az_r = 2.0 * jnp.pi * u[4]
@@ -388,7 +377,11 @@ def trace_rays(key,
         ck = cell_index(pos_col[:, 2], dz, nz, nz)
         ijk = (ck * ny + cj) * nx + ci
 
-        cell = jnp.take(fields, ijk, axis=0)   # (N, 8) one row gather
+        # ONE merged row gather for both branches (disjoint per lane):
+        # crossing lanes read the surface-pixel row (its 8th slot is the
+        # column albedo), collision lanes their cell row.
+        idx = jnp.where(crossing, pix_s, ijk)
+        cell = jnp.take(fields, idx, axis=0)   # (N, 8)
         k_here = cell[:, 0]
         ksca_c = cell[:, 2]
         ksca_a = cell[:, 3]
@@ -396,11 +389,35 @@ def trace_rays(key,
         ssa_tot = k_sca_tot / jnp.maximum(k_here, eps)
         f_no_abs = 1.0 - (1.0 - ssa_tot) * (k_here / k_null)
 
+        w = state.weight
+        counts = dict(counts)
         m_col = alive & ~crossing
         w_abs = w * (1.0 - f_no_abs)
-        counts["absorb"] = counts["absorb"].at[ijk].add(jnp.stack([
+        w_sfc = w * cell[:, 7]
+
+        # ONE packed scatter for both branches: rows [0, ncell*nz) hold
+        # (absorb_dir, absorb_dif, -, -) per cell, rows [ncell*nz, +ncell)
+        # hold (tod_up, sfc_dir, sfc_dif, sfc_up) per pixel.  Scatter cost
+        # is per INDEX on TPU, so merging halves it.
+        sfc_vals = jnp.stack([
+            jnp.where(m_tod, w, 0.0),
+            jnp.where(m_sfc & state.is_direct, w, 0.0),
+            jnp.where(m_sfc & ~state.is_direct, w, 0.0),
+            jnp.where(m_sfc, w_sfc, 0.0)], axis=1)
+        abs_vals = jnp.stack([
             jnp.where(m_col & state.is_direct, w_abs, 0.0),
-            jnp.where(m_col & ~state.is_direct, w_abs, 0.0)], axis=1))
+            jnp.where(m_col & ~state.is_direct, w_abs, 0.0),
+            jnp.zeros_like(w), jnp.zeros_like(w)], axis=1)
+        acc_idx = jnp.where(m_col, idx, ncell * nz + pix_s)
+        counts["acc"] = counts["acc"].at[acc_idx].add(
+            jnp.where(m_col[:, None], abs_vals, sfc_vals))
+
+        # Russian roulette after surface reflection.
+        w_after = jnp.where(m_sfc, w_sfc, w)
+        roulette = m_sfc & (w_after < W_THRES)
+        w_after = jnp.where(roulette,
+                            jnp.where(u[1] > w_after, 0.0, 1.0), w_after)
+        sfc_alive = m_sfc & (w_after > 0.0)
 
         w_col = w * f_no_abs
         roulette_c = m_col & (w_col < W_THRES)
@@ -489,14 +506,16 @@ def trace_rays(key,
     def f3(c):
         return (c * flux_per_ray / dz).reshape(nz, ny, nx)
 
+    sfc = counts["acc"][ncell * nz:]
+    absorb = counts["acc"][:ncell * nz]
     return RaytracerOutput(
         flux_toa_down=f2(counts["toa_down"]),
-        flux_tod_up=f2(counts["sfc"][:, 0]),
-        flux_sfc_dir=f2(counts["sfc"][:, 1]),
-        flux_sfc_dif=f2(counts["sfc"][:, 2]),
-        flux_sfc_up=f2(counts["sfc"][:, 3]),
-        flux_abs_dir=f3(counts["absorb"][:, 0]),
-        flux_abs_dif=f3(counts["absorb"][:, 1]),
+        flux_tod_up=f2(sfc[:, 0]),
+        flux_sfc_dir=f2(sfc[:, 1]),
+        flux_sfc_dif=f2(sfc[:, 2]),
+        flux_sfc_up=f2(sfc[:, 3]),
+        flux_abs_dir=f3(absorb[:, 0]),
+        flux_abs_dif=f3(absorb[:, 1]),
     )
 
 

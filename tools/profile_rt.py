@@ -21,6 +21,8 @@ NX = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 NZ = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 PPP = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 OUTDIR = sys.argv[4] if len(sys.argv) > 4 else "/tmp/jaxprof_rt"
+# bench_rt reads sys.argv at import; keep only our shape args visible.
+sys.argv = sys.argv[:4]
 
 
 def main():
@@ -38,7 +40,11 @@ def main():
     alb = jnp.full((ny, nx), 0.06, jnp.float32)
     sun = jnp.asarray(rt.sun_direction_from_angles(0.64, 0.0), jnp.float32)
     grid_d = (500.0, 100.0, 100.0)
-    kn = (max(2, NZ // 16), max(2, NX // 16), max(2, NX // 16))
+    # Reference-parity knull grid: rcemip rt uses ngrid (48, 48, 32) for
+    # a 64x64 domain (test_rcemip_input_rt.py:171-173) - a FINE grid, so
+    # k_null tracks local extinction and null collisions stay rare.
+    kn = (max(2, min(32, NZ // 8)), max(2, 3 * NX // 4),
+          max(2, 3 * NX // 4))
 
     def run(key, kx):
         out = rt.trace_rays(
