@@ -161,7 +161,8 @@ def trace_rays(key,
                mie_ang: Optional[object] = None,
                max_steps: int = 50_000,
                k_ext_null_min: float = 1e-3,
-               photons_per_lane: Optional[int] = None) -> RaytracerOutput:
+               photons_per_lane: Optional[int] = None,
+               return_aux: bool = False) -> RaytracerOutput:
     """Trace one spectral band/g-point through a 3D domain.
 
     All 3D fields are (nz, ny, nx) with z the vertical (index 0 at the
@@ -217,7 +218,7 @@ def trace_rays(key,
     # (per-INDEX cost; tools/profile_rt.py trace, PERF.md round 3).
     reff_col = (r_eff.reshape(-1) if r_eff is not None
                 else jnp.zeros(ncell * nz, dtype))
-    alb = surface_albedo.reshape(-1)
+    alb = surface_albedo.reshape(-1).astype(dtype)
     fields = jnp.stack([
         k_ext.reshape(-1), k_sca_gas.reshape(-1), k_sca_cld.reshape(-1),
         k_sca_aer.reshape(-1), asy_cld.reshape(-1), asy_aer.reshape(-1),
@@ -508,7 +509,7 @@ def trace_rays(key,
 
     sfc = counts["acc"][ncell * nz:]
     absorb = counts["acc"][:ncell * nz]
-    return RaytracerOutput(
+    out = RaytracerOutput(
         flux_toa_down=f2(counts["toa_down"]),
         flux_tod_up=f2(sfc[:, 0]),
         flux_sfc_dir=f2(sfc[:, 1]),
@@ -517,6 +518,9 @@ def trace_rays(key,
         flux_abs_dir=f3(absorb[:, 0]),
         flux_abs_dif=f3(absorb[:, 1]),
     )
+    if return_aux:
+        return out, {"steps": steps, "n_lanes": n_lanes, "ppl": ppl}
+    return out
 
 
 def bundle_optical_props(tau_tot, ssa_tot, tau_cld, ssa_cld, asy_cld,
