@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     p.add_argument("--ice-cloud-optics", action="store_true",
                    help="ice-only cloud optics")
     p.add_argument("--aerosol-optics", action="store_true")
+    p.add_argument("--cloud-mie", action="store_true",
+                   help="Mie cloud phase functions (sampling + sun NEE) "
+                        "from --mie-file instead of Henyey-Greenstein")
+    p.add_argument("--mie-file", default="mie_lut_broadband.nc")
     p.add_argument("--delta-cloud", action="store_true")
     p.add_argument("--delta-aerosol", action="store_true")
     p.add_argument("--cloud-cam", action="store_true",
@@ -143,7 +147,26 @@ def main(argv=None) -> int:
     if not (args.cloud_optics or args.liq_cloud_optics
             or args.ice_cloud_optics):
         solve_clouds = {}
-    solver = RadiationSolverBW(kd, clut, alut)
+    mie_kw = {}
+    if args.cloud_mie:
+        if args.cloud_optics or args.ice_cloud_optics:
+            raise SystemExit("--cloud-mie requires liquid-only cloud optics "
+                             "(reference: 'Thou shall not use mie tables as "
+                             "long as ice optics are not considered')")
+        # mie_lut_broadband.nc: phase_cdf/phase_cdf_angle for sampling plus
+        # phase/phase_angle values for the sun next-event estimation
+        # (load_mie_tables, Radiation_solver_bw.cu:740-764).
+        with NcReader(args.mie_file) as mie_nc:
+            mie_kw = dict(
+                mie_cdf=np.asarray(mie_nc.read("phase_cdf"), np.float32),
+                mie_ang=np.asarray(mie_nc.read("phase_cdf_angle"),
+                                   np.float32))
+            if mie_nc.has("phase"):
+                mie_kw.update(
+                    mie_phase=np.asarray(mie_nc.read("phase"), np.float32),
+                    mie_phase_ang=np.asarray(mie_nc.read("phase_angle"),
+                                             np.float32))
+    solver = RadiationSolverBW(kd, clut, alut, **mie_kw)
     mode = "image" if args.image else "broadband"
     status.print_message(f"Rendering ({mode}, {args.bw_raytracing} photons/pixel).")
     import time

@@ -113,12 +113,24 @@ def spectral_weights(kd: KDist, n_sub: int):
 # ---------------------------------------------------------------------------
 
 class RadiationSolverBW:
-    """Backward Monte-Carlo camera renderer."""
+    """Backward Monte-Carlo camera renderer.
 
-    def __init__(self, kdist: KDist, cloud_lut=None, aerosol_lut=None):
+    Mie tables (``load_mie_tables``, Radiation_solver_bw.cu:740-788):
+    broadband layout ``mie_cdf`` (nbnd, n_cdf), ``mie_ang``
+    (nbnd, n_re, n_cdf), ``mie_phase`` (nbnd, n_re, n_ang); image layout
+    adds a sub_band axis after nbnd ((nbnd, n_sub, ...)).
+    ``mie_phase_ang`` (n_ang,) is the shared uniform angle grid."""
+
+    def __init__(self, kdist: KDist, cloud_lut=None, aerosol_lut=None,
+                 mie_cdf=None, mie_ang=None, mie_phase=None,
+                 mie_phase_ang=None):
         self.kdist = kdist
         self.cloud_lut = cloud_lut
         self.aerosol_lut = aerosol_lut
+        self.mie_cdf = mie_cdf
+        self.mie_ang = mie_ang
+        self.mie_phase = mie_phase
+        self.mie_phase_ang = mie_phase_ang
 
     def solve(self, gas_concs, p_lay, p_lev, t_lay, mu0, azi,
               sfc_alb, land_use_map, camera: rbw.Camera,
@@ -198,6 +210,33 @@ class RadiationSolverBW:
         rayl_arr = np.array([s[4] for s in steps], dtype)
         solar = np.asarray(kd.solar_source, dtype)
 
+        # --- Mie tables: flatten any (nbnd, n_sub, ...) image layout to
+        # (nbnd*n_sub, ...) and precompute each step's row (the reference's
+        # per-(band, iwv) subsets, Radiation_solver_bw.cu:1036-1038) ---
+        mie_cdf = mie_ang = mie_phase = mie_phase_ang = None
+        mie_idx_arr = np.zeros_like(band_arr)
+        if self.mie_cdf is not None and lwp is not None:
+            mc = np.asarray(self.mie_cdf, dtype)
+            ma = np.asarray(self.mie_ang, dtype)
+            if ma.ndim == 4:           # image layout with sub_band axis
+                nsub_t = ma.shape[1]
+                isub = np.arange(len(steps), dtype=np.int32) % n_sub
+                assert nsub_t == n_sub, (nsub_t, n_sub)
+                mie_idx_arr = band_arr * nsub_t + isub
+                mc = mc.reshape(-1, mc.shape[-1])
+                ma = ma.reshape(-1, *ma.shape[2:])
+            else:
+                mie_idx_arr = band_arr
+            mie_cdf, mie_ang = jnp.asarray(mc), jnp.asarray(ma)
+            if self.mie_phase is not None:
+                mp = np.asarray(self.mie_phase, dtype)
+                if mp.ndim == 4:
+                    mp = mp.reshape(-1, *mp.shape[2:])
+                mie_phase = jnp.asarray(mp)
+                mie_phase_ang = jnp.asarray(self.mie_phase_ang, dtype)
+        rel_dom = (cast(rel) if (rel is not None and mie_cdf is not None)
+                   else None)
+
         # per-cell air column for the Bodhaine Rayleigh override
         idx_h2o = kd.idx_h2o
         air_col = col_dry * (1.0 + np.asarray(vmr[:, :, idx_h2o - 1]))
@@ -227,6 +266,8 @@ class RadiationSolverBW:
                 jnp.asarray(p1(igpt_arr)), jnp.asarray(p1(band_arr)),
                 jnp.asarray(p1(toaf_arr)), jnp.asarray(p1(xyz_arr)),
                 jnp.asarray(p1(rayl_arr)), jnp.asarray(solar),
+                jnp.asarray(p1(mie_idx_arr)), rel_dom,
+                mie_cdf, mie_ang, mie_phase, mie_phase_ang,
                 camera=camera, grid_cells=tuple(grid_cells),
                 kn_grid=tuple(kn_grid), photons_per_pixel=photons_per_pixel,
                 mode=mode, bg_column=bg_column, nee_mode=nee_mode,
@@ -262,6 +303,9 @@ class RadiationSolverBW:
 def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
                  mu0, azi, air_col, z_lev, grid_d,
                  igpt_arr, band_arr, toaf_arr, xyz_arr, rayl_arr, solar,
+                 mie_idx_arr=None, rel_dom=None,
+                 mie_cdf=None, mie_ang=None, mie_phase=None,
+                 mie_phase_ang=None,
                  *, camera, grid_cells, kn_grid, photons_per_pixel, mode,
                  bg_column: str = "first",
                  nee_mode: str = "walk",
@@ -291,7 +335,11 @@ def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
     def to3d(a):
         return a.T.reshape(nz, ny, nx)
 
-    def step_optics(igpt, band, rayl_xs):
+    use_mie = mie_cdf is not None
+    rel3 = to3d(rel_dom[:, :nz]) if (use_mie and rel_dom is not None) \
+        else None
+
+    def step_optics(igpt, band, rayl_xs, mie_idx):
         """Per-spectral-step 3D fields + background profile + albedo."""
         tau_g = jax.lax.dynamic_index_in_dim(gas_tau, igpt, 2, keepdims=False)
         ssa_g = jax.lax.dynamic_index_in_dim(gas_ssa, igpt, 2, keepdims=False)
@@ -341,15 +389,31 @@ def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
         alb_band = jnp.take_along_axis(
             sfc_alb, jnp.broadcast_to(band, (ncol, 1)).astype(jnp.int32),
             axis=1, mode="clip")[:, 0].reshape(ny, nx)
-        return k3 + (kbg_prof, ssa_bg, asy_split_bg, alb_band)
+        out = k3 + (kbg_prof, ssa_bg, asy_split_bg, alb_band)
+        if use_mie:
+            # Per-step Mie row (the reference's per-(band, iwv) subset,
+            # Radiation_solver_bw.cu:1036-1038).
+            mi = mie_idx.astype(jnp.int32)
+            out = out + (jnp.take(mie_cdf, mi, axis=0, mode="clip"),
+                         jnp.take(mie_ang, mi, axis=0, mode="clip"))
+            if mie_phase is not None:
+                out = out + (jnp.take(mie_phase, mi, axis=0, mode="clip"),)
+        return out
 
-    def trace_one(key_g, kx, ksg, ksc, ksa, gc3, ga3, kbgp, ssab, asyb, alb):
+    def trace_one(key_g, kx, ksg, ksc, ksa, gc3, ga3, kbgp, ssab, asyb, alb,
+                  *mie_s):
+        mie_kw = {}
+        if use_mie:
+            mie_kw = dict(r_eff=rel3, mie_cdf=mie_s[0], mie_ang=mie_s[1])
+            if mie_phase is not None:
+                mie_kw.update(mie_phase=mie_s[2], mie_phase_ang=mie_phase_ang)
         count, _shot = rbw.trace_rays_bw(
             key_g, camera, kx, ksg, ksc, ksa, gc3, ga3,
             kbgp, ssab, asyb, z_lev_bg,
             alb, land_use.reshape(ny, nx), kn_grid,
             grid_d, sun_dir, mu,
-            photons_per_pixel=photons_per_pixel, nee_mode=nee_mode)
+            photons_per_pixel=photons_per_pixel, nee_mode=nee_mode,
+            **mie_kw)
         return count
 
     if spectral_mode == "lanes":
@@ -363,7 +427,8 @@ def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
         # accumulation order.
         keys = jax.vmap(lambda g: jax.random.fold_in(key, g * 16 + 0))(
             igpt_arr)
-        fields = jax.vmap(step_optics)(igpt_arr, band_arr, rayl_arr)
+        fields = jax.vmap(step_optics)(igpt_arr, band_arr, rayl_arr,
+                                       mie_idx_arr)
         counts = jax.vmap(trace_one)(keys, *fields)        # (S, ny, nx)
         toa_src_s = solar[igpt_arr]                        # (S,)
         w = (toa_src_s * toaf_arr / photons_per_pixel)[:, None, None]
@@ -374,8 +439,8 @@ def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
         return xyz_img, radiance, total_src
 
     def body(acc, xs):
-        igpt, band, toaf, xyz, rayl_xs = xs
-        fields = step_optics(igpt, band, rayl_xs)
+        igpt, band, toaf, xyz, rayl_xs, mie_idx = xs
+        fields = step_optics(igpt, band, rayl_xs, mie_idx)
         key_g = jax.random.fold_in(key, igpt * 16 + 0)
         count = trace_one(key_g, *fields)
 
@@ -391,7 +456,9 @@ def _render_impl(kd, key, gas_tau, gas_ssa, cld, aer, sfc_alb, land_use,
     acc0 = (jnp.zeros((3, camera.ny, camera.nx), dtype),
             jnp.zeros((camera.ny, camera.nx), dtype),
             jnp.zeros((), dtype))
-    xs = (igpt_arr, band_arr, toaf_arr, xyz_arr, rayl_arr)
+    xs = (igpt_arr, band_arr, toaf_arr, xyz_arr, rayl_arr,
+          mie_idx_arr if mie_idx_arr is not None
+          else jnp.zeros_like(band_arr))
     (xyz_img, radiance, total_src), _ = jax.lax.scan(body, acc0, xs)
 
     return xyz_img, radiance, total_src

@@ -113,6 +113,28 @@ def _mie_sample(mie_cdf, mie_ang, u, r_eff):
     return jnp.cos(ang_lwr * (1.0 - r_rest) + ang_upr * r_rest)
 
 
+def _mie_phase_value(mie_phase_ang, mie_phase, scat_ang, r_eff):
+    """Mie phase-function VALUE at scattering angle ``scat_ang`` (radians)
+    — the next-event-estimation weight (mie_interpolate_phase_table,
+    raytracer_functions.h:128-147).  ``mie_phase_ang``: (n_ang,) equally
+    spaced angles 0..pi; ``mie_phase``: (n_re, n_ang) phase values per
+    effective radius (r_eff grid 2.5..2.5+n_re-1 um, like the cdf tables).
+    Returns phase per steradian."""
+    n_re, n_ang = mie_phase.shape
+    r_idx = jnp.clip((r_eff - 2.5).astype(jnp.int32), 0, n_re - 2)
+    r_rest = jnp.mod(r_eff - 2.5, 1.0)
+    d_ang = mie_phase_ang[1] - mie_phase_ang[0]     # uniform grid spacing
+    i = jnp.clip((scat_ang / d_ang).astype(jnp.int32), 0, n_ang - 2)
+    a0 = mie_phase_ang[i]
+    a1 = mie_phase_ang[i + 1]
+    dr = jnp.maximum(jnp.abs(a1 - a0), 1e-30)
+    w0 = jnp.abs(scat_ang - a1) / dr
+    w1 = jnp.abs(a0 - scat_ang) / dr
+    p_lwr = w0 * mie_phase[r_idx, i] + w1 * mie_phase[r_idx, i + 1]
+    p_upr = w0 * mie_phase[r_idx + 1, i] + w1 * mie_phase[r_idx + 1, i + 1]
+    return p_lwr * (1.0 - r_rest) + p_upr * r_rest
+
+
 def _scatter_direction(direction, cos_scat, u_phi):
     """Rotate ``direction`` by scattering angle with random azimuth
     (raytracer_kernels.cu:385-404).  direction: (N, 3)."""

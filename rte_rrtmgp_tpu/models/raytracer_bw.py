@@ -32,8 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from .raytracer import (_henyey_sample, _rayleigh_sample, _scatter_direction,
-                        W_THRES)
+from .raytracer import (_henyey_sample, _mie_phase_value, _mie_sample,
+                        _rayleigh_sample, _scatter_direction, W_THRES)
 
 # Sun disc: half angle 0.266 deg (raytracer_kernels_bw.h:27-30).
 COS_HALF_ANGLE = 0.9999891776066407
@@ -189,13 +189,28 @@ def trace_rays_bw(key, camera: Camera,
                   sun_sub_steps: int = 400,
                   k_ext_null_min: float = 1e-3,
                   rays_per_lane: Optional[int] = None,
-                  nee_mode: str = "walk"):
+                  nee_mode: str = "walk",
+                  r_eff: Optional[object] = None,
+                  mie_cdf: Optional[object] = None,
+                  mie_ang: Optional[object] = None,
+                  mie_phase: Optional[object] = None,
+                  mie_phase_ang: Optional[object] = None):
     """Render one spectral interval.  Returns per-pixel count and shot
     arrays (ny, nx); radiance = count * toa_src * toa_factor / ppp.
 
     ``sun_direction`` points TOWARD the sun (z > 0) — opposite to the
     forward tracer's photon-travel convention (the reference does the same:
     compare Raytracer_bw.cu's sun vector with Raytracer.cu:341-343).
+
+    Mie scattering (reference ``Phase_kind::Mie``): with ``mie_cdf`` /
+    ``mie_ang`` given (plus per-cell ``r_eff`` (nz, ny, nx)), cloud scatter
+    events sample the Mie LUT instead of Henyey-Greenstein
+    (raytracer_kernels_bw.cu:714-718); with ``mie_phase`` (n_re, n_ang) /
+    ``mie_phase_ang`` (n_ang,) given, the sun next-event estimation
+    evaluates the Mie phase VALUE at the sun angle
+    (probability_from_sun, raytracer_kernels_bw.cu:276-292).  The two
+    gates are independent, matching the reference's separate
+    mie_cdf_table_size / mie_phase_table_size checks.
 
     Background column: ``k_ext_bg`` (kbg,), ``ssa_bg`` (kbg,),
     ``asy_split_bg`` (kbg, 3) scattering fractions [gas, cld, aer] are the
@@ -251,10 +266,14 @@ def trace_rays_bw(key, camera: Camera,
     # One packed row per cell -> a single row gather per collision instead
     # of six element gathers (TPU gathers cost per INDEX, not per byte).
     ncell3 = nz * ny * nx
+    use_mie_sample = mie_cdf is not None
+    use_mie_phase = mie_phase is not None
+    reff_col = (r_eff.reshape(-1).astype(dtype)
+                if r_eff is not None else jnp.zeros(ncell3, dtype))
     fields = jnp.stack([
         kflat, k_sca_gas.reshape(-1), k_sca_cld.reshape(-1),
         k_sca_aer.reshape(-1), asy_cld.reshape(-1), asy_aer.reshape(-1),
-        jnp.zeros(ncell3, dtype), jnp.zeros(ncell3, dtype)], axis=1)
+        reff_col, jnp.zeros(ncell3, dtype)], axis=1)
     # Packed surface row: (albedo, land-use).
     sfc_fields = jnp.stack([surface_albedo.reshape(-1),
                             land_use_map.reshape(-1).astype(dtype)], axis=1)
@@ -649,7 +668,13 @@ def trace_rays_bw(key, camera: Camera,
         cos_ray3 = _rayleigh_sample(u[6])
         g_safe = jnp.where(jnp.abs(g_eff) < 1e-4, 1e-4, g_eff)
         cos_hg3 = _henyey_sample(g_safe, u[6])
-        cos_dom = jnp.where(t_aer | t_cld, cos_hg3, cos_ray3)
+        if use_mie_sample:
+            # Cloud scatter angle from the Mie cdf LUT (kernels_bw.cu:714-718)
+            cos_cld3 = _mie_sample(mie_cdf, mie_ang, u[6], cell[:, 6])
+            cos_dom = jnp.where(t_aer, cos_hg3,
+                                jnp.where(t_cld, cos_cld3, cos_ray3))
+        else:
+            cos_dom = jnp.where(t_aer | t_cld, cos_hg3, cos_ray3)
 
         # ============ masks ============
         m_bg = alive & in_bg
@@ -673,7 +698,13 @@ def trace_rays_bw(key, camera: Camera,
                            -1.0, 1.0)
         p_dom = jnp.where(
             t_aer | t_cld, henyey_phase(g_safe, cos_sun), rayleigh_phase(cos_sun)
-        ) * SUN_SOLID_ANGLE
+        )
+        if use_mie_phase:
+            # Phase_kind::Mie for cloud scatter NEE (kernels_bw.cu:276-292)
+            p_mie = _mie_phase_value(mie_phase_ang, mie_phase,
+                                     jnp.arccos(cos_sun), cell[:, 6])
+            p_dom = jnp.where(t_cld, p_mie, p_dom)
+        p_dom = p_dom * SUN_SOLID_ANGLE
         p_bg = rayleigh_phase(cos_sun) * SUN_SOLID_ANGLE
         p_evt = jnp.where(m_sfc, p_sun_sfc, jnp.where(m_bgh, p_bg, p_dom))
         w_evt = jnp.where(m_sfc, w_sfc, jnp.where(m_bgh, w_bg, w_col))

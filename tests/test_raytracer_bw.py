@@ -202,6 +202,87 @@ def test_spectral_lanes_matches_scan():
                                rtol=1e-5, atol=1e-9)
 
 
+def test_mie_phase_value_oracle():
+    """The Mie NEE phase interpolator reproduces the analytic HG lobes the
+    synthetic table was built from, and the table integrates to 1 over the
+    sphere (the phase-normalization oracle)."""
+    from rte_rrtmgp_tpu.data import synthetic
+    from rte_rrtmgp_tpu.models.raytracer import _mie_phase_value
+    from rte_rrtmgp_tpu.models.raytracer_bw import henyey_phase
+
+    raw = synthetic.make_mie_raw(nbnd=2, n_re=20, n_ang=721)
+    phase = jnp.asarray(raw["phase"][0], jnp.float32)       # (n_re, n_ang)
+    pang = jnp.asarray(raw["phase_angle"], jnp.float32)
+    g_of_re = raw["g_of_re"]
+
+    # normalization: 2*pi * int p(theta) sin(theta) dtheta == 1 per r_eff
+    integ = 2 * np.pi * np.trapezoid(
+        raw["phase"][0] * np.sin(raw["phase_angle"])[None, :],
+        raw["phase_angle"], axis=1)
+    np.testing.assert_allclose(integ, 1.0, rtol=5e-3)
+
+    # value parity vs the analytic lobe at on- and off-grid query points
+    for r_eff, theta in [(2.5, 0.3), (10.0, 0.01), (13.7, 1.2),
+                         (21.4, 2.9), (5.0, np.pi - 0.01)]:
+        got = float(_mie_phase_value(
+            pang, phase, jnp.float32(theta), jnp.float32(r_eff)))
+        ir = min(max(int(r_eff - 2.5), 0), 18)
+        rr = (r_eff - 2.5) % 1.0
+        expect = ((1 - rr) * float(henyey_phase(g_of_re[ir], np.cos(theta)))
+                  + rr * float(henyey_phase(g_of_re[ir + 1], np.cos(theta))))
+        assert abs(got - expect) / expect < 2e-2, (r_eff, theta, got, expect)
+
+
+def test_bw_mie_forward_brightening():
+    """Reference Phase_kind::Mie parity check (raytracer_kernels_bw.cu:
+    276-292, 714-727): rendering a scattering cloud while looking TOWARD
+    the sun, the sharp Mie forward lobe must brighten the scene versus a
+    broad Henyey-Greenstein (asy 0.3) — both in NEE phase value and in the
+    sampled multiple-scatter paths."""
+    from rte_rrtmgp_tpu.data import synthetic
+
+    raw = synthetic.make_mie_raw(nbnd=2, n_re=20)
+    mie_cdf = jnp.asarray(raw["phase_cdf"][0], jnp.float32)
+    mie_ang = jnp.asarray(raw["phase_cdf_angle"][0], jnp.float32)
+    mie_phase = jnp.asarray(raw["phase"][0], jnp.float32)
+    mie_pang = jnp.asarray(raw["phase_angle"], jnp.float32)
+
+    shape = (NZ, NY, NX)
+    zeros = jnp.zeros(shape, jnp.float32)
+    cloud = jnp.zeros(shape, jnp.float32).at[2].set(0.6e-3)   # one cloud layer
+    k_ext = cloud + 1e-9
+    asy_hg = jnp.full(shape, 0.3, jnp.float32)               # broad HG lobe
+    r_eff = jnp.full(shape, 10.0, jnp.float32)               # Mie g ~ 0.79
+
+    # Rect camera at the surface aimed exactly at the sun (36.9 deg zenith
+    # in +x): every pixel's first-scatter NEE angle is near-forward.
+    cam = rbw.Camera(cam_type=1, nx=NX, ny=NY, fov=20.0, pitch_deg=-53.13,
+                     position=(NX * DX / 2, NY * DY / 2, 10.0))
+
+    def render(mie):
+        kw = dict(r_eff=r_eff, mie_cdf=mie_cdf, mie_ang=mie_ang,
+                  mie_phase=mie_phase, mie_phase_ang=mie_pang) if mie else {}
+        count, shot = rbw.trace_rays_bw(
+            jax.random.PRNGKey(7), cam, k_ext, zeros, cloud, zeros,
+            asy_hg, zeros, *_bg(),
+            jnp.zeros((NY, NX), jnp.float32),
+            jnp.full((NY, NX), 1.0, jnp.float32),
+            (2, 2, 2), (DZ, DY, DX), jnp.asarray(SUN, jnp.float32), MU0,
+            photons_per_pixel=64, **kw)
+        return np.asarray(count) / np.maximum(np.asarray(shot), 1)
+
+    hg = render(False)
+    mie = render(True)
+    assert np.isfinite(hg).all() and np.isfinite(mie).all()
+    assert np.median(hg) > 0
+    # Forward-peak brightening: the Mie lobe at ~0 deg is >10x the HG(0.3)
+    # value.  Compare MEDIANS — the few pixels inside the sun disc carry an
+    # identical (phase-independent) direct transmission term in both runs
+    # that dominates the mean (measured ~8x median brightening here).
+    assert np.median(mie) > 3.0 * np.median(hg), (
+        np.median(mie), np.median(hg))
+
+
 def test_nee_field_matches_walk():
     """The deterministic sun-transmission field (fast preview mode) agrees
     with the default reference-style stochastic walk within MC noise on a
