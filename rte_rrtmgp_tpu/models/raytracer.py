@@ -171,6 +171,8 @@ class _PhotonState(NamedTuple):
     k_null: object       # (N,)
     transition: object   # (N,) bool
     count: object        # (N,) photons already launched by this lane
+    lane_id: object      # (N,) ORIGINAL lane index (pool identity; stable
+                         # across width compaction)
 
 
 def trace_rays(key,
@@ -184,6 +186,7 @@ def trace_rays(key,
                max_steps: int = 50_000,
                k_ext_null_min: float = 1e-3,
                photons_per_lane: Optional[int] = None,
+               compact: bool = True,
                return_aux: bool = False) -> RaytracerOutput:
     """Trace one spectral band/g-point through a 3D domain.
 
@@ -275,7 +278,6 @@ def trace_rays(key,
     pool = jnp.concatenate(
         [pool_pos, pool_dir, pool_direct[:, None].astype(dtype)], axis=1)
 
-    lane_ids = jnp.arange(n_lanes, dtype=jnp.int32)
     state = _PhotonState(
         pos=pool_pos[:n_lanes], direction=pool_dir[:n_lanes],
         weight=jnp.ones(n_lanes, dtype),
@@ -286,6 +288,7 @@ def trace_rays(key,
         k_null=jnp.ones(n_lanes, dtype),
         transition=jnp.zeros(n_lanes, dtype=bool),
         count=jnp.zeros(n_lanes, jnp.int32),
+        lane_id=jnp.arange(n_lanes, dtype=jnp.int32),
     )
     counts = dict(
         toa_down=jnp.zeros(ncell, dtype).at[pix_all].add(1.0),
@@ -302,12 +305,13 @@ def trace_rays(key,
 
     def body(carry):
         state, counts, key, step = carry
+        width = state.alive.shape[0]
         key, ku = jax.random.split(key)
         # Six draws per step: rows 3/4 are SHARED between the surface branch
         # (Lambertian mu/azimuth) and the collision branch (scatter
         # type/angle) — a lane is in exactly one branch per step, so each
         # uniform is consumed once and independence is preserved.
-        u = jax.random.uniform(ku, (6, n_lanes), dtype)
+        u = jax.random.uniform(ku, (6, width), dtype)
 
         pos, direction = state.pos, state.direction
         alive = state.alive
@@ -497,7 +501,7 @@ def trace_rays(key,
         # gather from the precomputed launch pool ----
         respawn = alive & ~new_alive & (state.count < ppl - 1)
         new_count = jnp.where(respawn, state.count + 1, state.count)
-        launch = jnp.take(pool, lane_ids + n_lanes * new_count, axis=0)
+        launch = jnp.take(pool, state.lane_id + n_lanes * new_count, axis=0)
         new_pos = jnp.where(respawn[:, None], launch[:, 0:3], new_pos)
         new_dir = jnp.where(respawn[:, None], launch[:, 3:6], new_dir)
         new_weight = jnp.where(respawn, 1.0, new_weight)
@@ -510,15 +514,47 @@ def trace_rays(key,
             pos=new_pos, direction=new_dir, weight=new_weight,
             is_direct=new_direct, alive=new_alive, tau=new_tau,
             d_max=new_dmax, k_null=k_null, transition=new_trans,
-            count=new_count)
+            count=new_count, lane_id=state.lane_id)
         return new_state, counts, key, step + 1
 
-    def cond(carry):
-        state, counts, key, step = carry
-        return jnp.logical_and(jnp.any(state.alive), step < max_steps)
+    # Staged width compaction (the long-walk tail killer): the measured
+    # alive-lane profile is ~25 events per photon but a ~50x longer maximum
+    # walk, so >90% of while iterations would run with almost every lane
+    # dead — and the per-iteration cost (scatter/gather, per-INDEX on TPU)
+    # is paid for dead lanes too.  Each phase runs a while_loop at a fixed
+    # width W until fewer than W/4 lanes are alive (or the fuse), then
+    # packs the alive lanes (alive-first stable argsort) into a W/4-wide
+    # state and continues.  Physics is unchanged: dead lanes carry no
+    # state, the launch pool is indexed by the carried original lane_id,
+    # and every count accumulator is width-independent.  The CUDA analog
+    # is persistent threads pulling new photons forever
+    # (raytracer_kernels.cu:120-404) — compaction is how a lock-step SIMD
+    # machine gets the same effect once the photon pool runs dry.
+    widths = [n_lanes]
+    if compact:
+        floor = min(2048, n_lanes)
+        while widths[-1] > floor:
+            widths.append(max(floor, widths[-1] // 4))
 
-    state, counts, key, steps = jax.lax.while_loop(
-        cond, body, (state, counts, key, jnp.zeros((), jnp.int32)))
+    step = jnp.zeros((), jnp.int32)
+    for phase, width in enumerate(widths):
+        is_last = phase == len(widths) - 1
+
+        def cond(carry, _last=is_last, _w=width):
+            state, counts, key, step = carry
+            go = jnp.logical_and(jnp.any(state.alive), step < max_steps)
+            if not _last:
+                go = jnp.logical_and(
+                    go, jnp.sum(state.alive.astype(jnp.int32)) > _w // 4)
+            return go
+
+        state, counts, key, step = jax.lax.while_loop(
+            cond, body, (state, counts, key, step))
+        if not is_last:
+            nxt = widths[phase + 1]
+            order = jnp.argsort(jnp.logical_not(state.alive))[:nxt]
+            state = jax.tree_util.tree_map(lambda a: a[order], state)
+    steps = step
 
     toa_src = tod_dir + tod_dif
     flux_per_ray = toa_src / photons_per_pixel

@@ -330,7 +330,7 @@ def tau_major(kd: KDist, interp: Interp, cellw=None, g0=0):
         M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
         (tau,) = interp_cellw_multi(
             [kd.kmajor_rows], [cellw.rows], cellw.V, M2, cellw.fp,
-            metas=(((0, 0, 1, 1), True, True),),
+            metas=(((0, 0, 1, 1), True, True, 0, True),),
             neta=kd.neta, **_cellw_opts())
         return tau.reshape(C, L, G)
     return _interp3d_rows(kd, kd.kmajor_rows, interp, scale_by_colmix=True)
@@ -478,8 +478,8 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0,
             tau, pfrac = interp_cellw_multi(
                 [kd.kmajor_rows, kd.planck_rows],
                 [cellw.rows, cellw.rows], cellw.V, M2, cellw.fp,
-                metas=(((0, 0, 1, 1), True, True),
-                       ((0, 0, 1, 1), True, False)),
+                metas=(((0, 0, 1, 1), True, True, 0, True),
+                       ((0, 0, 1, 1), True, False, 0, True)),
                 neta=kd.neta, **_cellw_opts())
             return tau.reshape(C, L, G), pfrac.reshape(C, L, G)
         if resolves is not None:
@@ -536,7 +536,7 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
             tau, kloc = interp_cellw_multi(
                 [kd.kmajor_rows, kd.krayl_rows],
                 [cellw.rows, rows_ray], cellw.V, M2, cellw.fp,
-                metas=(((0, 0, 1, 1), True, True),
+                metas=(((0, 0, 1, 1), True, True, 0, True),
                        ((0, 1), False, False, 0, True)),
                 neta=kd.neta, **_cellw_opts())
             fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
@@ -809,8 +809,8 @@ def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
                 [kd.kmajor_rows, kd.planck_rows, tbl_m],
                 [cellw.rows, cellw.rows, rows_m], cellw.V, [M2, M2m],
                 cellw.fp,
-                metas=(((0, 0, 1, 1), True, True, 0),
-                       ((0, 0, 1, 1), True, False, 0),
+                metas=(((0, 0, 1, 1), True, True, 0, True),
+                       ((0, 0, 1, 1), True, False, 0, True),
                        ((0, 1), False, False, 1, True)),
                 neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
                 sc_ops=(2,), **_cellw_opts())
@@ -847,7 +847,7 @@ def tau_majmin_and_rayleigh(kd: KDist, interp: Interp, play, tlay, col_gas,
                 [kd.kmajor_rows, kd.krayl_rows, tbl_m],
                 [cellw.rows, rows_ray, rows_m], cellw.V, [M2, M2m],
                 cellw.fp,
-                metas=(((0, 0, 1, 1), True, True, 0),
+                metas=(((0, 0, 1, 1), True, True, 0, True),
                        ((0, 1), False, False, 0, True),
                        ((0, 1), False, False, 1, True)),
                 neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),

@@ -443,13 +443,15 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, rows_ref, *refs):
             nc = len(corner_itemp)
             G = outs[iop].shape[1]
             acc = jnp.zeros((1, G), dtype)
-            if has_fp:
-                # 4-corner (i0p0, i0p1, i1p0, i1p1): the temperature
-                # corners are ADJACENT table rows (r(i1,p) = r(i0,p)+1,
-                # _slab_rows builds r = (p0+dp)*ntemp + jt0 + i), so ONE
-                # 32-row slice per pressure fetches both — the per-cell
-                # dynamic-slice count (the dominant per-cell cost on this
-                # hardware) halves vs slicing per corner.
+            if has_fp and adj:
+                # 4-corner (i0p0, i0p1, i1p0, i1p1) with the adj meta flag
+                # set: the caller declares the temperature corners ADJACENT
+                # table rows (r(i1,p) = r(i0,p)+1, as _slab_rows builds
+                # r = (p0+dp)*ntemp + jt0 + i), so ONE 32-row slice per
+                # pressure fetches both — the per-cell dynamic-slice count
+                # (the dominant per-cell cost on this hardware) halves vs
+                # slicing per corner.  rows columns col+2/col+3 (the i1
+                # corners) are unused under this contract.
                 r0 = rows_ref[b, col] * ETA_STRIDE
                 r1 = rows_ref[b, col + 1] * ETA_STRIDE
                 slab = ((1.0 - fp)
@@ -460,6 +462,19 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, rows_ref, *refs):
                         weights(mk, i)
                         * slab[i * ETA_STRIDE:(i + 1) * ETA_STRIDE, :],
                         axis=0, keepdims=True)
+                    if has_cm:
+                        pair = pair * res[6 + i:7 + i, :]
+                    acc = acc + pair
+            elif has_fp:
+                # Non-adjacent 4-corner layout: honest per-pressure-pair
+                # fetches through all four row columns.
+                for i in (0, 1):
+                    r0 = rows_ref[b, col + 2 * i] * ETA_STRIDE
+                    r1 = rows_ref[b, col + 2 * i + 1] * ETA_STRIDE
+                    slab = ((1.0 - fp) * tables[iop][pl.ds(r0, ETA_STRIDE), :]
+                            + fp * tables[iop][pl.ds(r1, ETA_STRIDE), :])
+                    pair = jnp.sum(weights(mk, i) * slab,
+                                   axis=0, keepdims=True)
                     if has_cm:
                         pair = pair * res[6 + i:7 + i, :]
                     acc = acc + pair

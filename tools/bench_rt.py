@@ -77,13 +77,15 @@ def main():
                 max(2, 3 * NX // 4)))
 
     mode = os.environ.get("BENCH_RT_MODE", "scan")
+    # BENCH_RT_COMPACT=0 disables staged width compaction (A/B knob).
+    compact = os.environ.get("BENCH_RT_COMPACT", "1") != "0"
 
     def one_gpt(key, kx, g):
         out = rt.trace_rays(
             jax.random.fold_in(key, g), kx, *fields[1:], None, alb,
             kn, grid_d, jnp.float32(1361.0 * 0.8 / NGPT),
             jnp.float32(0.0), sun, photons_per_pixel=PPP,
-            independent_column=False)
+            independent_column=False, compact=compact)
         return out.flux_sfc_dir + out.flux_sfc_dif
 
     def run(key, kx):

@@ -1,0 +1,132 @@
+"""Microbenchmark the MC tracer's per-step memory ops in isolation.
+
+The round-4 device trace (tools/profile_rt.py) attributes 83% of the
+tracer's while-loop iteration to ONE op: the packed scatter-add of
+(N, 4) rows into the (ncell*nz + ncell, 4) accumulator (~2.37 ms at
+N=32768 -> ~68 cycles per index).  This tool times scatter/gather
+variants in a fori_loop (so per-dispatch overhead amortizes like the real
+while loop) to choose the replacement:
+
+  scatter_rows   — current: (N,4) rows into (T,4)
+  scatter_flat   — (N,) singles into (4*T,) at idx*4+ch, two scatters
+  scatter_sorted — rows, indices pre-sorted (indices_are_sorted hint)
+  scatter_pallas — serial RMW loop in a Pallas kernel, acc VMEM-resident
+  gather_rows    — (N,8) row gather from (T8,8) [for reference]
+
+Usage: python tools/microbench_scatter.py [N] [T] [steps]
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+T = int(sys.argv[2]) if len(sys.argv) > 2 else 266240
+STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+
+
+def main():
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
+    _cfg.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+    idx = jax.random.randint(jax.random.fold_in(key, 1), (N,), 0, T)
+    vals = jax.random.uniform(jax.random.fold_in(key, 2), (N, 4))
+    acc0 = jnp.zeros((T, 4), jnp.float32)
+
+    def timed(name, fn, *args):
+        f = jax.jit(fn)
+        out = f(*args)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(*args)
+            s = float(jnp.asarray(out).ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        per_step_us = best / STEPS * 1e6
+        print(json.dumps({"op": name, "us_per_step": round(per_step_us, 1),
+                          "cyc_per_idx": round(per_step_us * 940 / N, 1),
+                          "check": round(s, 3)}), flush=True)
+
+    def loop(step_fn, acc):
+        def body(i, acc):
+            v = vals + 1e-9 * i          # defeat loop-invariant hoisting
+            return step_fn(acc, v)
+        return jax.lax.fori_loop(0, STEPS, body, acc)
+
+    timed("scatter_rows",
+          lambda acc: loop(lambda a, v: a.at[idx].add(v), acc), acc0)
+
+    idx_flat = idx * 4
+    acc_flat = jnp.zeros((T * 4,), jnp.float32)
+    timed("scatter_flat_1ch",
+          lambda acc: loop(lambda a, v: a.at[idx_flat].add(v[:, 0]), acc),
+          acc_flat)
+
+    idx_s = jnp.sort(idx)
+    timed("scatter_rows_sorted_hint",
+          lambda acc: loop(
+              lambda a, v: jax.lax.scatter_add(
+                  a, idx_s[:, None], v,
+                  jax.lax.ScatterDimensionNumbers(
+                      update_window_dims=(1,), inserted_window_dims=(0,),
+                      scatter_dims_to_operand_dims=(0,)),
+                  indices_are_sorted=True, unique_indices=False), acc), acc0)
+
+    # Pallas serial-RMW scatter: acc stays VMEM-resident for the whole
+    # call; idx arrives in SMEM chunks via the grid.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = 2048
+
+    def sc_kernel(idx_ref, vals_ref, acc_ref):
+        def body(i, _):
+            r = idx_ref[i]
+            acc_ref[pl.ds(r, 1), :] += vals_ref[pl.ds(i, 1), :]
+            return 0
+        jax.lax.fori_loop(0, C, body, 0)
+
+    @jax.jit
+    def pallas_scatter(acc, v):
+        return pl.pallas_call(
+            sc_kernel,
+            grid=(N // C,),
+            in_specs=[
+                pl.BlockSpec((C,), lambda g: (g,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((C, 4), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T, 4), lambda g: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, 4), jnp.float32),
+            input_output_aliases={2: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 2**20),
+        )(idx.astype(jnp.int32), v, acc)
+
+    timed("scatter_pallas",
+          lambda acc: loop(lambda a, v: pallas_scatter(a, v), acc), acc0)
+
+    tbl = jax.random.uniform(jax.random.fold_in(key, 3), (T, 8))
+
+    def gather_loop(t):
+        def body(i, a):
+            ix = (idx + i) % T            # defeat hoisting
+            return a + jnp.take(t, ix, axis=0)[:, :4]
+        return jax.lax.fori_loop(0, STEPS, body, jnp.zeros((N, 4)))
+
+    timed("gather_rows", gather_loop, tbl)
+
+
+if __name__ == "__main__":
+    main()
