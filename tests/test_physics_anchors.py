@@ -1,0 +1,176 @@
+"""Independent physics anchors (VERDICT r3 item 10).
+
+Every other numerical test in this suite checks the JAX path against the
+NumPy oracle (ops/reference.py) or frozen goldens derived from it — if the
+oracle and the JAX code drifted TOGETHER, those tests would stay green.
+The assertions here are decoupled from the oracle: each one pins a solver
+or sampler output to a value derivable from textbook radiative transfer or
+a published constant, with prescribed (analytic) optical properties so no
+k-distribution table enters the comparison.
+
+Anchors:
+  - 1-angle diffusivity secant vs Hogan (2023, JAMES) optimized value
+    (reference hard-codes the same table, src_kernels_cuda/
+    rte_solver_kernels.cu gauss_Ds).
+  - isothermal gray slab: diffuse emissivity 1 - exp(-D*tau) (Elsasser
+    gray-slab result, any radiation textbook).
+  - opaque isothermal atmosphere: OLR == sigma*T^4, zero interior net flux.
+  - Beer-Lambert direct-beam transmission, exact.
+  - conservative-scattering SW energy closure and the semi-infinite
+    conservative albedo -> 1 limit.
+  - Rayleigh / Henyey-Greenstein sampler moments vs the analytic phase
+    function moments (<mu>=0, <mu^2>=2/5 for Rayleigh; <mu>=g for HG).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rte_rrtmgp_tpu.ops.rte_lw import (GAUSS_DS, GAUSS_WTS,
+                                       lw_solver_noscat)
+from rte_rrtmgp_tpu.ops.rte_sw import sw_solver_2stream
+from rte_rrtmgp_tpu.models.raytracer import _rayleigh_sample, _henyey_sample
+
+SIGMA = 5.670374419e-8  # Stefan-Boltzmann, CODATA 2018 (exact derived)
+
+
+def _isothermal_lw(tau_total, nlay=10, ncol=3, ngpt=2, emis=1.0,
+                   n_angles=1):
+    """Isothermal gray slab over a surface at the same temperature.
+
+    Sources are prescribed in radiance units (S everywhere); with w=1 for
+    the 1-angle quadrature, flux = pi * radiance.
+    """
+    S = 100.0 / np.pi  # arbitrary radiance scale
+    tau = jnp.full((ncol, nlay, ngpt), tau_total / nlay, jnp.float64)
+    lay = jnp.full((ncol, nlay, ngpt), S, jnp.float64)
+    lev = jnp.full((ncol, nlay + 1, ngpt), S, jnp.float64)
+    sfc = jnp.full((ncol, ngpt), S, jnp.float64)
+    e = jnp.full((ncol, ngpt), emis, jnp.float64)
+    zero = jnp.zeros((ncol, ngpt), jnp.float64)
+    fu, fd, _ = lw_solver_noscat(tau, lay, lev, e, sfc, zero, zero,
+                                 n_gauss_angles=n_angles)
+    return np.asarray(fu), np.asarray(fd), np.pi * S
+
+
+def test_diffusivity_secant_published():
+    """The 1-angle secant is Hogan (2023) Table 1's optimized D=1.64022
+    (the reference ships the same table); the classic Elsasser value is
+    1.66 — anything outside [1.6, 1.7] is a transcription bug."""
+    d = float(GAUSS_DS[0, 0])
+    assert abs(d - 1.6402184850343033) < 1e-12
+    assert 1.6 < d < 1.7
+    # 1-angle quadrature weight must integrate the hemisphere: pi*w == pi.
+    assert abs(float(GAUSS_WTS[0, 0]) - 1.0) < 1e-12
+
+
+@pytest.mark.parametrize("tau", [0.01, 0.1, 1.0, 5.0, 50.0])
+def test_isothermal_slab_emissivity(tau):
+    """Gray-slab diffuse emissivity: for an isothermal slab with no
+    incident flux, flux_dn(sfc) / (pi*B) == 1 - exp(-D*tau) EXACTLY under
+    a single-secant quadrature (textbook Elsasser/gray-slab result — the
+    downward sweep telescopes to B*(1 - prod(trans))).  Independent of any
+    table or oracle."""
+    fu, fd, f_bb = _isothermal_lw(tau)
+    d = float(GAUSS_DS[0, 0])
+    expect = 1.0 - np.exp(-d * tau)
+    got = fd[:, -1] / f_bb
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+    # Black surface at the slab temperature: upward flux is blackbody at
+    # every level (isothermal enclosure invariance), for ANY tau.
+    np.testing.assert_allclose(fu / f_bb, 1.0, rtol=1e-12)
+
+
+def test_opaque_isothermal_olr_is_sigma_t4():
+    """An opaque isothermal atmosphere radiates sigma*T^4 to space and has
+    zero net flux everywhere below the emission level."""
+    t = 288.0
+    s_rad = SIGMA * t ** 4 / np.pi
+    tau = jnp.full((2, 20, 1), 5.0, jnp.float64)  # tau_total = 100
+    lay = jnp.full((2, 20, 1), s_rad, jnp.float64)
+    lev = jnp.full((2, 21, 1), s_rad, jnp.float64)
+    sfc = jnp.full((2, 1), s_rad, jnp.float64)
+    one = jnp.ones((2, 1), jnp.float64)
+    zero = jnp.zeros((2, 1), jnp.float64)
+    for n_angles in (1, 2, 3):
+        fu, fd, _ = lw_solver_noscat(tau, lay, lev, one, sfc, zero, zero,
+                                     n_gauss_angles=n_angles)
+        olr = float(np.sum(fu[0, 0]))
+        assert abs(olr - SIGMA * t ** 4) < 1e-6 * SIGMA * t ** 4, n_angles
+        net = np.asarray(fu - fd)[:, 5:, :]  # below the TOA boundary layer
+        assert np.max(np.abs(net)) < 1e-6 * SIGMA * t ** 4
+
+
+def test_beer_lambert_direct_beam():
+    """Direct-beam transmission is exactly exp(-tau/mu0) (Beer-Lambert)."""
+    mu0 = jnp.asarray([1.0, 0.5, 0.25], jnp.float64)
+    tau_tot = 2.3
+    tau = jnp.full((3, 7, 2), tau_tot / 7, jnp.float64)
+    ssa = jnp.zeros_like(tau)
+    g = jnp.zeros_like(tau)
+    alb = jnp.zeros((3, 2), jnp.float64)
+    inc = jnp.full((3, 2), 1000.0, jnp.float64)
+    fu, fd, fdir = sw_solver_2stream(tau, ssa, g, mu0, alb, alb, inc)
+    expect = 1000.0 * np.asarray(mu0) * np.exp(-tau_tot / np.asarray(mu0))
+    np.testing.assert_allclose(np.asarray(fdir)[:, -1, 0], expect,
+                               rtol=1e-12)
+    # Pure absorber over a black surface: nothing comes back up.
+    assert float(jnp.max(fu)) < 1e-9
+
+
+def test_sw_conservative_energy_closure():
+    """ssa=1 atmosphere absorbs nothing: TOA in == TOA up + sfc absorbed,
+    at every column, to near machine precision."""
+    mu0 = jnp.asarray([0.9, 0.4], jnp.float64)
+    tau = jnp.asarray(
+        np.random.default_rng(0).uniform(0.05, 2.0, (2, 12, 3)))
+    ssa = jnp.ones_like(tau)
+    g = jnp.full_like(tau, 0.6)
+    alb = jnp.full((2, 3), 0.2, jnp.float64)
+    inc = jnp.full((2, 3), 1361.0, jnp.float64)
+    fu, fd, fdir = sw_solver_2stream(tau, ssa, g, mu0, alb, alb, inc)
+    toa_in = np.asarray(fd)[:, 0]
+    toa_up = np.asarray(fu)[:, 0]
+    sfc_abs = (np.asarray(fd) - np.asarray(fu))[:, -1]
+    np.testing.assert_allclose(toa_up + sfc_abs, toa_in, rtol=1e-10)
+
+
+def test_sw_semi_infinite_conservative_albedo():
+    """A semi-infinite conservative scattering atmosphere reflects
+    everything: planetary albedo -> 1 (two-stream limit, any textbook)."""
+    mu0 = jnp.asarray([0.8], jnp.float64)
+    tau = jnp.full((1, 30, 1), 1e4 / 30, jnp.float64)
+    ssa = jnp.ones_like(tau)
+    g = jnp.zeros_like(tau)
+    alb = jnp.zeros((1, 1), jnp.float64)
+    inc = jnp.ones((1, 1), jnp.float64)
+    fu, fd, _ = sw_solver_2stream(tau, ssa, g, mu0, alb, alb, inc)
+    r = float(fu[0, 0, 0] / fd[0, 0, 0])
+    assert r > 0.999
+
+
+def test_rayleigh_sampler_moments():
+    """Rayleigh phase p(mu) ~ (1+mu^2): <mu> = 0 and <mu^2> = 2/5.
+    Evaluate the inverse-CDF sampler on a midpoint quadrature grid (not a
+    random stream) so the check is deterministic and 4th-order exact."""
+    n = 200_000
+    u = (jnp.arange(n, dtype=jnp.float64) + 0.5) / n
+    mu = np.asarray(_rayleigh_sample(u))
+    assert abs(mu.mean()) < 1e-4
+    assert abs((mu ** 2).mean() - 0.4) < 1e-4
+    assert mu.min() >= -1.0 and mu.max() <= 1.0
+
+
+@pytest.mark.parametrize("g", [0.05, 0.3, 0.86, -0.5])
+def test_henyey_sampler_mean_cosine(g):
+    """The defining property of the HG phase function: <cos theta> = g.
+
+    g=0 is outside the sampler's contract (the inverse CDF carries a 1/g
+    term, same as the reference's raytracer_functions.h:81-87); isotropic
+    scattering never routes through HG in the tracer."""
+    n = 200_000
+    u = (jnp.arange(n, dtype=jnp.float64) + 0.5) / n
+    mu = np.asarray(_henyey_sample(jnp.float64(g), u))
+    assert abs(mu.mean() - g) < 5e-4
+    assert mu.min() >= -1.0 and mu.max() <= 1.0
