@@ -292,11 +292,18 @@ def trace_rays(key,
     )
     counts = dict(
         toa_down=jnp.zeros(ncell, dtype).at[pix_all].add(1.0),
-        # one packed accumulator: rows [0, ncell*nz) = per-cell
-        # (absorb_dir, absorb_dif, -, -), rows [ncell*nz, +ncell) =
-        # per-pixel (tod_up, sfc_dir, sfc_dif, sfc_up) — both event
-        # classes score through ONE scatter per step (disjoint branches).
-        acc=jnp.zeros((ncell * nz + ncell, 4), dtype),
+        # one packed FLAT accumulator: entries 4*r+c where rows
+        # r in [0, ncell*nz) hold per-cell c=(0 absorb_dir, 1 absorb_dif)
+        # and rows [ncell*nz, +ncell) per-pixel c=(0 tod_up, 1 sfc_dir,
+        # 2 sfc_dif, 3 sfc_up).  Scoring is TWO single-element scatters
+        # per step: every event writes exactly one primary channel
+        # (absorption OR tod OR sfc-down, selected per lane), and surface
+        # hits additionally write sfc_up.  Measured
+        # (tools/microbench_scatter.py, v5e): flat single-element
+        # scatter-adds cost ~19-26 cycles/index where the previous (N, 4)
+        # row scatter cost ~84-87 — the row form made XLA's serial RMW
+        # loop move 4-wide vectors per index.
+        acc=jnp.zeros(4 * (ncell * nz + ncell), dtype),
     )
 
     def cell_index(p, d, n, nmax):
@@ -422,22 +429,23 @@ def trace_rays(key,
         w_abs = w * (1.0 - f_no_abs)
         w_sfc = w * cell[:, 7]
 
-        # ONE packed scatter for both branches: rows [0, ncell*nz) hold
-        # (absorb_dir, absorb_dif, -, -) per cell, rows [ncell*nz, +ncell)
-        # hold (tod_up, sfc_dir, sfc_dif, sfc_up) per pixel.  Scatter cost
-        # is per INDEX on TPU, so merging halves it.
-        sfc_vals = jnp.stack([
-            jnp.where(m_tod, w, 0.0),
-            jnp.where(m_sfc & state.is_direct, w, 0.0),
-            jnp.where(m_sfc & ~state.is_direct, w, 0.0),
-            jnp.where(m_sfc, w_sfc, 0.0)], axis=1)
-        abs_vals = jnp.stack([
-            jnp.where(m_col & state.is_direct, w_abs, 0.0),
-            jnp.where(m_col & ~state.is_direct, w_abs, 0.0),
-            jnp.zeros_like(w), jnp.zeros_like(w)], axis=1)
-        acc_idx = jnp.where(m_col, idx, ncell * nz + pix_s)
-        counts["acc"] = counts["acc"].at[acc_idx].add(
-            jnp.where(m_col[:, None], abs_vals, sfc_vals))
+        # TWO flat single-element scatters (see the ``acc`` layout note):
+        # each lane's event writes exactly one primary channel — collision
+        # lanes their absorption cell/channel, tod lanes tod_up, surface
+        # lanes sfc_dir/sfc_dif — and surface lanes additionally write
+        # sfc_up.  Single-element flat scatters are ~3.2x cheaper per
+        # index than the former (N, 4) row scatter (PERF.md round 4).
+        dir_off = jnp.where(state.is_direct, 0, 1)
+        idx_a = jnp.where(
+            m_col, 4 * idx + dir_off,
+            4 * (ncell * nz + pix_s)
+            + jnp.where(m_tod, 0, 1 + dir_off))
+        val_a = jnp.where(m_col, w_abs,
+                          jnp.where(m_tod | m_sfc, w, 0.0))
+        idx_b = 4 * (ncell * nz + pix_s) + 3
+        val_b = jnp.where(m_sfc, w_sfc, 0.0)
+        counts["acc"] = (counts["acc"].at[idx_a].add(val_a)
+                         .at[idx_b].add(val_b))
 
         # Russian roulette after surface reflection.
         w_after = jnp.where(m_sfc, w_sfc, w)
@@ -565,8 +573,9 @@ def trace_rays(key,
     def f3(c):
         return (c * flux_per_ray / dz).reshape(nz, ny, nx)
 
-    sfc = counts["acc"][ncell * nz:]
-    absorb = counts["acc"][:ncell * nz]
+    acc = counts["acc"].reshape(ncell * nz + ncell, 4)
+    sfc = acc[ncell * nz:]
+    absorb = acc[:ncell * nz]
     out = RaytracerOutput(
         flux_toa_down=f2(counts["toa_down"]),
         flux_tod_up=f2(sfc[:, 0]),

@@ -82,40 +82,23 @@ def main():
                       scatter_dims_to_operand_dims=(0,)),
                   indices_are_sorted=True, unique_indices=False), acc), acc0)
 
-    # Pallas serial-RMW scatter: acc stays VMEM-resident for the whole
-    # call; idx arrives in SMEM chunks via the grid.
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    # Two flat scatters: per event at most 2 channels are nonzero (the
+    # tracer's abs_dir/abs_dif and sfc_dir/sfc_dif splits are selects);
+    # scatter (N,) singles at idx*4+channel twice instead of (N,4) rows.
+    ch1 = (idx % 2).astype(jnp.int32)           # stand-in channel select
+    ch2 = 2 + (idx % 2).astype(jnp.int32)
+    timed("scatter_two_flat",
+          lambda acc: loop(
+              lambda a, v: a.at[idx_flat + ch1].add(v[:, 0])
+                            .at[idx_flat + ch2].add(v[:, 1]), acc),
+          acc_flat)
 
-    C = 2048
-
-    def sc_kernel(idx_ref, vals_ref, acc_ref):
-        def body(i, _):
-            r = idx_ref[i]
-            acc_ref[pl.ds(r, 1), :] += vals_ref[pl.ds(i, 1), :]
-            return 0
-        jax.lax.fori_loop(0, C, body, 0)
-
-    @jax.jit
-    def pallas_scatter(acc, v):
-        return pl.pallas_call(
-            sc_kernel,
-            grid=(N // C,),
-            in_specs=[
-                pl.BlockSpec((C,), lambda g: (g,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((C, 4), lambda g: (g, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((T, 4), lambda g: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((T, 4), jnp.float32),
-            input_output_aliases={2: 0},
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 2**20),
-        )(idx.astype(jnp.int32), v, acc)
+    # Pallas serial-RMW scatter (VMEM-resident accumulator).
+    from rte_rrtmgp_tpu.ops.pallas.scatter_kernel import scatter_add_rows
 
     timed("scatter_pallas",
-          lambda acc: loop(lambda a, v: pallas_scatter(a, v), acc), acc0)
+          lambda acc: loop(
+              lambda a, v: scatter_add_rows(a, idx, v), acc), acc0)
 
     tbl = jax.random.uniform(jax.random.fold_in(key, 3), (T, 8))
 
