@@ -177,6 +177,8 @@ class _BwState(NamedTuple):
     bg_idx: object      # (N,) int32 background-layer index
     pix: object         # (N,) int32 camera pixel of the lane's current ray
     count: object       # (N,) int32 rays already launched by this lane
+    lane_id: object     # (N,) int32 ORIGINAL lane index (pool identity;
+                        # stable across staged width compaction)
 
 
 def trace_rays_bw(key, camera: Camera,
@@ -189,6 +191,7 @@ def trace_rays_bw(key, camera: Camera,
                   sun_sub_steps: int = 400,
                   k_ext_null_min: float = 1e-3,
                   rays_per_lane: Optional[int] = None,
+                  compact: bool = True,
                   nee_mode: str = "walk",
                   r_eff: Optional[object] = None,
                   mie_cdf: Optional[object] = None,
@@ -526,12 +529,13 @@ def trace_rays_bw(key, camera: Camera,
         bg_idx=bg_all[:n_lanes],
         pix=pix0,
         count=jnp.zeros(n_lanes, jnp.int32),
+        lane_id=jnp.arange(n_lanes, dtype=jnp.int32),
     )
 
     def body(carry):
         state, count, key, step = carry
         key, ku, ksun = jax.random.split(key, 3)
-        u = jax.random.uniform(ku, (8, n_lanes), dtype)
+        u = jax.random.uniform(ku, (8, state.alive.shape[0]), dtype)
         pos, direction, alive = state.pos, state.direction, state.alive
         w = state.weight
 
@@ -758,9 +762,9 @@ def trace_rays_bw(key, camera: Camera,
         # already scored in the batched pre-pass) ----
         respawn = alive & ~new_alive & (state.count < rpl - 1)
         new_count = jnp.where(respawn, state.count + 1, state.count)
-        lane = jnp.arange(n_lanes, dtype=jnp.int32)
         launch = jnp.take(launch_table,
-                          lane + jnp.asarray(n_lanes, jnp.int32) * new_count,
+                          state.lane_id
+                          + jnp.asarray(n_lanes, jnp.int32) * new_count,
                           axis=0)                       # (N, 8) row gather
         new_pos = jnp.where(respawn[:, None], launch[:, 0:3], new_pos)
         new_dir = jnp.where(respawn[:, None], launch[:, 3:6], new_dir)
@@ -777,15 +781,42 @@ def trace_rays_bw(key, camera: Camera,
             pos=new_pos, direction=new_dir, weight=new_w,
             is_direct=new_direct, alive=new_alive, tau=new_tau,
             d_max=new_dmax, k_null=k_null, transition=new_trans,
-            bg_idx=new_bgi, pix=new_pix, count=new_count)
+            bg_idx=new_bgi, pix=new_pix, count=new_count,
+            lane_id=state.lane_id)
         return new_state, count, key, step + 1
 
-    def cond(carry):
-        state, count, key, step = carry
-        return jnp.logical_and(jnp.any(state.alive), step < max_steps)
+    # Staged width compaction, as in the forward tracer
+    # (models/raytracer.py): each phase runs a fixed-width while_loop
+    # until fewer than W/4 lanes are alive, then packs the alive lanes
+    # (alive-first stable argsort) into a W/4-wide state.  The camera
+    # count accumulator is width-independent and the launch pool is
+    # indexed by the carried lane_id, so physics and RNG-per-event are
+    # unchanged; the long-walk tail stops paying full-width
+    # scatter/gather costs.
+    widths = [n_lanes]
+    if compact:
+        floor = min(2048, n_lanes)
+        while widths[-1] > floor:
+            widths.append(max(floor, widths[-1] // 4))
 
-    state, camera_count, key, steps = jax.lax.while_loop(
-        cond, body, (state, camera_count, key, jnp.zeros((), jnp.int32)))
+    step = jnp.zeros((), jnp.int32)
+    for phase, width in enumerate(widths):
+        is_last = phase == len(widths) - 1
+
+        def cond(carry, _last=is_last, _w=width):
+            state, count, key, step = carry
+            go = jnp.logical_and(jnp.any(state.alive), step < max_steps)
+            if not _last:
+                go = jnp.logical_and(
+                    go, jnp.sum(state.alive.astype(jnp.int32)) > _w // 4)
+            return go
+
+        state, camera_count, key, step = jax.lax.while_loop(
+            cond, body, (state, camera_count, key, step))
+        if not is_last:
+            nxt = widths[phase + 1]
+            order = jnp.argsort(jnp.logical_not(state.alive))[:nxt]
+            state = jax.tree_util.tree_map(lambda a: a[order], state)
 
     return (camera_count.reshape(camera.ny, camera.nx),
             camera_shot.reshape(camera.ny, camera.nx))
