@@ -93,12 +93,21 @@ def main():
                             .at[idx_flat + ch2].add(v[:, 1]), acc),
           acc_flat)
 
-    # Pallas serial-RMW scatter (VMEM-resident accumulator).
-    from rte_rrtmgp_tpu.ops.pallas.scatter_kernel import scatter_add_rows
+    # A Pallas serial-RMW scatter (VMEM-resident accumulator, SMEM index
+    # stream) was prototyped and measured-out: Mosaic's compile of the
+    # serial per-index loop exceeded 15 minutes (round 4) — rejected in
+    # favor of the flat XLA scatters above.
 
-    timed("scatter_pallas",
-          lambda acc: loop(
-              lambda a, v: scatter_add_rows(a, idx, v), acc), acc0)
+    idx8 = idx * 8
+    tbl8 = jax.random.uniform(jax.random.fold_in(key, 4), (T * 8,))
+
+    def gather_flat_loop(t):
+        def body(i, a):
+            ix = (idx8 + i) % (T * 8)
+            return a + jnp.take(t, ix)
+        return jax.lax.fori_loop(0, STEPS, body, jnp.zeros((N,)))
+
+    timed("gather_flat_1ch", gather_flat_loop, tbl8)
 
     tbl = jax.random.uniform(jax.random.fold_in(key, 3), (T, 8))
 
