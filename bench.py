@@ -214,8 +214,11 @@ def _bench_mc_tracer(jax, nx=64, nz=64, ppp=32):
     def run(key, kx):
         out = rt.trace_rays(
             key, kx, *fields, None, alb,
-            (max(2, min(32, nz // 8)), max(2, 3 * nx // 4),
-             max(2, 3 * nx // 4)),
+            # knull (4,4,4): winner of the round-4 shape sweep (PERF.md) —
+            # the SIMD tracer pays one while iteration per knull-cell
+            # crossing, so the coarse grid beats the reference-parity
+            # (z,48,48) grid 4.1x at equal physics.
+            (4, 4, 4),
             (500.0, 100.0, 100.0), jnp.float32(1361.0 * 0.4),
             jnp.float32(0.0), sun, photons_per_pixel=ppp,
             independent_column=False)

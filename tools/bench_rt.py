@@ -67,14 +67,15 @@ def main():
     alb = jnp.full((ny, nx), 0.06, jnp.float32)
     sun = jnp.asarray(rt.sun_direction_from_angles(0.64, 0.0), jnp.float32)
     grid_d = (500.0, 100.0, 100.0)
-    # knull grid: the reference's rcemip rt uses ngrid (48, 48, 32) for a
-    # 64x64x256 domain (test_rcemip_input_rt.py:171-173); NZ//8 only
-    # matches that z extent at NZ=256.  Shape is overridable for A/Bs
-    # (tools/ab_rt_knull.py measures wall AND while-loop iterations).
+    # knull grid: default (4,4,4), the round-4 sweep winner (PERF.md) —
+    # the SIMD tracer pays one while iteration per knull-cell crossing,
+    # so coarse beats the reference's rcemip ngrid (48, 48, 32)
+    # (test_rcemip_input_rt.py:171-173) by 4.1x at equal physics.
+    # Override for A/Bs via BENCH_RT_KNULL=z,y,x (tools/ab_rt_knull.py
+    # measures wall AND while-loop iterations per shape).
     kn_env = os.environ.get("BENCH_RT_KNULL")
     kn = (tuple(int(v) for v in kn_env.split(",")) if kn_env
-          else (max(2, min(32, NZ // 8)), max(2, 3 * NX // 4),
-                max(2, 3 * NX // 4)))
+          else (4, 4, 4))
 
     mode = os.environ.get("BENCH_RT_MODE", "scan")
     # BENCH_RT_COMPACT=0 disables staged width compaction (A/B knob).
