@@ -173,6 +173,8 @@ class _PhotonState(NamedTuple):
     count: object        # (N,) photons already launched by this lane
     lane_id: object      # (N,) ORIGINAL lane index (pool identity; stable
                          # across width compaction)
+    gid: object          # (N,) g-point index of the lane's CURRENT photon
+                         # (pooled windows; constant 0 when G == 1)
 
 
 def trace_rays(key,
@@ -187,6 +189,7 @@ def trace_rays(key,
                k_ext_null_min: float = 1e-3,
                photons_per_lane: Optional[int] = None,
                compact: bool = True,
+               compact_floor: int = 128,
                return_aux: bool = False) -> RaytracerOutput:
     """Trace one spectral band/g-point through a 3D domain.
 
@@ -207,14 +210,99 @@ def trace_rays(key,
 
     Returns fluxes in W m-2 (2D) / W m-3 (3D absorption).
     """
+    return _trace_impl(
+        key, k_ext[None], k_sca_gas[None], k_sca_cld[None],
+        k_sca_aer[None], asy_cld[None], asy_aer[None], r_eff,
+        surface_albedo[None], kn_grid_shape, grid_d,
+        jnp.asarray(tod_inc_direct, k_ext.dtype)[None],
+        jnp.asarray(tod_inc_diffuse, k_ext.dtype)[None], sun_direction,
+        photons_per_pixel=photons_per_pixel,
+        independent_column=independent_column,
+        mie_cdf=mie_cdf, mie_ang=mie_ang, max_steps=max_steps,
+        k_ext_null_min=k_ext_null_min, photons_per_lane=photons_per_lane,
+        compact=compact, compact_floor=compact_floor,
+        return_aux=return_aux)
+
+
+def trace_rays_pooled(key,
+                      k_ext, k_sca_gas, k_sca_cld, k_sca_aer,
+                      asy_cld, asy_aer,
+                      r_eff, surface_albedo, kn_grid_shape,
+                      grid_d, tod_inc_direct, tod_inc_diffuse,
+                      sun_direction,
+                      photons_per_pixel: int,
+                      independent_column: bool = False,
+                      mie_cdf: Optional[object] = None,
+                      mie_ang: Optional[object] = None,
+                      max_steps: int = 200_000,
+                      k_ext_null_min: float = 1e-3,
+                      photons_per_lane: Optional[int] = None,
+                      compact: bool = True,
+                      compact_floor: int = 128,
+                      return_aux: bool = False) -> RaytracerOutput:
+    """Trace a WINDOW of G g-points in ONE photon loop (spectral pooling).
+
+    All optics fields carry a leading spectral axis: ``k_*``/``asy_*``
+    are (G, nz, ny, nx), ``surface_albedo`` (G, ny, nx),
+    ``tod_inc_direct/diffuse`` (G,).  ``r_eff`` stays (nz, ny, nx) —
+    effective radius is spectrally flat.  ``mie_cdf``/``mie_ang`` are the
+    single band's tables (pooled windows must not cross band boundaries
+    when Mie is on).
+
+    Why: the per-g-point tracer pays the long-walk TAIL once per g-point
+    — measured 62% of all while iterations process the last <8k photons
+    (tools/diag_rt_tail.py, PERF.md round 4).  Pooling assigns lanes to
+    photons from the WHOLE window's launch pool, so lanes respawn into
+    the next g-point's photons the moment theirs die: the vector stays
+    saturated until the window's entire pool is dry and the tail is paid
+    once per window instead of once per g-point.  This is the SIMD
+    equivalent of the reference's persistent-thread photon loop
+    (raytracer_kernels.cu:120-404) extended across its host-side g-point
+    loop (Radiation_solver_rt.cu:903-956).
+
+    Scoring is flux-weighted at scatter time (each lane's deposit is
+    scaled by its g-point's W m-2 per photon), so the returned
+    RaytracerOutput holds the window's SUMMED physical fluxes
+    (W m-2 / W m-3) directly.
+    """
+    return _trace_impl(
+        key, k_ext, k_sca_gas, k_sca_cld, k_sca_aer, asy_cld, asy_aer,
+        r_eff, surface_albedo, kn_grid_shape, grid_d,
+        jnp.asarray(tod_inc_direct, k_ext.dtype),
+        jnp.asarray(tod_inc_diffuse, k_ext.dtype), sun_direction,
+        photons_per_pixel=photons_per_pixel,
+        independent_column=independent_column,
+        mie_cdf=mie_cdf, mie_ang=mie_ang, max_steps=max_steps,
+        k_ext_null_min=k_ext_null_min, photons_per_lane=photons_per_lane,
+        compact=compact, compact_floor=compact_floor,
+        return_aux=return_aux)
+
+
+def _trace_impl(key,
+                k_ext, k_sca_gas, k_sca_cld, k_sca_aer, asy_cld, asy_aer,
+                r_eff, surface_albedo, kn_grid_shape,
+                grid_d, tod_inc_direct, tod_inc_diffuse, sun_direction,
+                photons_per_pixel: int,
+                independent_column: bool,
+                mie_cdf, mie_ang, max_steps: int,
+                k_ext_null_min: float,
+                photons_per_lane,
+                compact: bool, compact_floor: int,
+                return_aux: bool):
+    """Shared G-aware tracer core (see trace_rays / trace_rays_pooled)."""
     dtype = k_ext.dtype
     eps = config.eps(dtype)
-    nz, ny, nx = k_ext.shape
+    G, nz, ny, nx = k_ext.shape
     ncell = ny * nx
-    n_photons = ncell * photons_per_pixel
+    ncol = ncell * nz                       # cells per g-point
+    n_photons_g = ncell * photons_per_pixel
+    n_photons = G * n_photons_g
     if photons_per_lane is None:
-        photons_per_lane = max(1, min(8, photons_per_pixel,
-                                      n_photons // 32768))
+        if G == 1:
+            photons_per_lane = max(1, min(8, photons_per_pixel,
+                                          n_photons // 32768))
+        else:
+            photons_per_lane = max(1, n_photons // 32768)
     while n_photons % photons_per_lane:
         photons_per_lane -= 1
     ppl = photons_per_lane
@@ -225,13 +313,18 @@ def trace_rays(key,
     s_min = jnp.maximum(size_z, jnp.maximum(size_y, size_x)) * eps
 
     knz, kny, knx = kn_grid_shape
-    k_null_grid = create_knull_grid(k_ext, kn_grid_shape, k_ext_null_min)
+    kn_ncell = knz * kny * knx
+    k_null_grid = jax.vmap(
+        lambda k: create_knull_grid(k, kn_grid_shape, k_ext_null_min))(k_ext)
     kn_d = (size_z / knz, size_y / kny, size_x / knx)
 
     sun_direction = jnp.asarray(sun_direction, dtype)
-    tod_dir = jnp.asarray(tod_inc_direct, dtype)
+    tod_dir = jnp.asarray(tod_inc_direct, dtype)       # (G,)
     tod_dif = jnp.asarray(tod_inc_diffuse, dtype)
     diff_frac = tod_dif / jnp.maximum(tod_dir + tod_dif, eps)
+    # W m-2 credited per photon of each g-point; deposits are scaled by
+    # this at scatter time so pooled windows can share one accumulator.
+    flux_per_ray = (tod_dir + tod_dif) / photons_per_pixel   # (G,)
 
     # One packed row per cell -> a single row gather per step instead of
     # six element gathers (TPU gathers cost per INDEX, not per byte).
@@ -241,34 +334,40 @@ def trace_rays(key,
     # also serves the surface-reflection albedo read — the separate
     # (ncell,) gather measured as expensive as the whole 8-wide row gather
     # (per-INDEX cost; tools/profile_rt.py trace, PERF.md round 3).
+    # Pooled windows stack the G g-points' rows: row = g*ncell*nz + cell.
     reff_col = (r_eff.reshape(-1) if r_eff is not None
-                else jnp.zeros(ncell * nz, dtype))
-    alb = surface_albedo.reshape(-1).astype(dtype)
-    fields = jnp.stack([
-        k_ext.reshape(-1), k_sca_gas.reshape(-1), k_sca_cld.reshape(-1),
-        k_sca_aer.reshape(-1), asy_cld.reshape(-1), asy_aer.reshape(-1),
-        reff_col, jnp.tile(alb, nz)], axis=1)              # (ncell*nz, 8)
-    knull_flat = k_null_grid.reshape(-1)
+                else jnp.zeros(ncol, dtype))
+    alb = surface_albedo.reshape(G, ncell).astype(dtype)
+    fields = jnp.concatenate([
+        k_ext.reshape(G, ncol, 1), k_sca_gas.reshape(G, ncol, 1),
+        k_sca_cld.reshape(G, ncol, 1), k_sca_aer.reshape(G, ncol, 1),
+        asy_cld.reshape(G, ncol, 1), asy_aer.reshape(G, ncol, 1),
+        jnp.broadcast_to(reff_col[None, :, None], (G, ncol, 1)),
+        jnp.broadcast_to(jnp.tile(alb, (1, nz))[:, :, None], (G, ncol, 1)),
+    ], axis=2).reshape(G * ncol, 8)
+    knull_flat = k_null_grid.reshape(-1)               # (G*kn_ncell,)
     use_mie = mie_cdf is not None
 
     # Precomputed launch pool (the bw tracer's design, raytracer_bw.py):
     # every photon id's stratified start state is built ONCE before the
     # loop, so an in-loop respawn is a single packed row gather instead of
     # five fresh RNG draws + trig per step.  Photon id = lane +
-    # n_lanes*count covers every pixel exactly photons_per_pixel times, so
-    # toa_down is credited in full here (exact whenever the loop runs to
-    # natural termination; the max_steps fuse is a safety net far past any
-    # real walk length).
+    # n_lanes*count covers every (g-point, pixel) pair exactly
+    # photons_per_pixel times, so toa_down is credited in full here (exact
+    # whenever the loop runs to natural termination; the max_steps fuse is
+    # a safety net far past any real walk length).  Pool order is g-major:
+    # pid -> g = pid // n_photons_g, pixel = pid % ncell.
     key, k0 = jax.random.split(key)
     u5 = jax.random.uniform(k0, (5, n_photons), dtype)
     pid_all = jnp.arange(n_photons, dtype=jnp.int32)
+    g_all = pid_all // n_photons_g
     pix_all = pid_all % ncell
     px = (pix_all % nx).astype(dtype)
     py = (pix_all // nx).astype(dtype)
     pool_pos = jnp.stack([(px + u5[0]) * dx, (py + u5[1]) * dy,
                           jnp.full((n_photons,), size_z - s_min, dtype)],
                          axis=1)
-    pool_direct = u5[2] >= diff_frac
+    pool_direct = u5[2] >= diff_frac[g_all]
     mu_s = jnp.sqrt(u5[3])
     az_s = 2.0 * jnp.pi * u5[4]
     dif_dir = jnp.stack([mu_s * jnp.sin(az_s), mu_s * jnp.cos(az_s),
@@ -289,9 +388,11 @@ def trace_rays(key,
         transition=jnp.zeros(n_lanes, dtype=bool),
         count=jnp.zeros(n_lanes, jnp.int32),
         lane_id=jnp.arange(n_lanes, dtype=jnp.int32),
+        gid=g_all[:n_lanes],
     )
     counts = dict(
-        toa_down=jnp.zeros(ncell, dtype).at[pix_all].add(1.0),
+        toa_down=jnp.zeros(ncell, dtype).at[pix_all].add(
+            flux_per_ray[g_all]),
         # one packed FLAT accumulator: entries 4*r+c where rows
         # r in [0, ncell*nz) hold per-cell c=(0 absorb_dir, 1 absorb_dif)
         # and rows [ncell*nz, +ncell) per-pixel c=(0 tod_up, 1 sfc_dir,
@@ -340,6 +441,8 @@ def trace_rays(key,
         sz = dist(pos[:, 2], kn_d[0], k_n, direction[:, 2])
         d_new = sz if independent_column else jnp.minimum(sx, jnp.minimum(sy, sz))
         ijk_n = (k_n * kny + j_n) * knx + i_n
+        if G > 1:
+            ijk_n = ijk_n + state.gid * kn_ncell
         k_null_new = knull_flat[ijk_n]
         d_max = jnp.where(need_grid, d_new, state.d_max)
         k_null = jnp.where(need_grid, k_null_new, state.k_null)
@@ -413,9 +516,11 @@ def trace_rays(key,
 
         # ONE merged row gather for both branches (disjoint per lane):
         # crossing lanes read the surface-pixel row (its 8th slot is the
-        # column albedo), collision lanes their cell row.
+        # column albedo), collision lanes their cell row.  Pooled windows
+        # offset into the lane's g-point block of the stacked table.
         idx = jnp.where(crossing, pix_s, ijk)
-        cell = jnp.take(fields, idx, axis=0)   # (N, 8)
+        row = idx if G == 1 else idx + state.gid * ncol
+        cell = jnp.take(fields, row, axis=0)   # (N, 8)
         k_here = cell[:, 0]
         ksca_c = cell[:, 2]
         ksca_a = cell[:, 3]
@@ -435,15 +540,19 @@ def trace_rays(key,
         # lanes sfc_dir/sfc_dif — and surface lanes additionally write
         # sfc_up.  Single-element flat scatters are ~3.2x cheaper per
         # index than the former (N, 4) row scatter (PERF.md round 4).
+        # Deposits are scaled by the lane's g-point flux-per-photon so
+        # pooled windows share ONE physical-units accumulator.
+        scale = (flux_per_ray[0] if G == 1
+                 else jnp.take(flux_per_ray, state.gid))
         dir_off = jnp.where(state.is_direct, 0, 1)
         idx_a = jnp.where(
             m_col, 4 * idx + dir_off,
             4 * (ncell * nz + pix_s)
             + jnp.where(m_tod, 0, 1 + dir_off))
-        val_a = jnp.where(m_col, w_abs,
-                          jnp.where(m_tod | m_sfc, w, 0.0))
+        val_a = scale * jnp.where(m_col, w_abs,
+                                  jnp.where(m_tod | m_sfc, w, 0.0))
         idx_b = 4 * (ncell * nz + pix_s) + 3
-        val_b = jnp.where(m_sfc, w_sfc, 0.0)
+        val_b = scale * jnp.where(m_sfc, w_sfc, 0.0)
         counts["acc"] = (counts["acc"].at[idx_a].add(val_a)
                          .at[idx_b].add(val_b))
 
@@ -509,7 +618,8 @@ def trace_rays(key,
         # gather from the precomputed launch pool ----
         respawn = alive & ~new_alive & (state.count < ppl - 1)
         new_count = jnp.where(respawn, state.count + 1, state.count)
-        launch = jnp.take(pool, state.lane_id + n_lanes * new_count, axis=0)
+        pid = state.lane_id + n_lanes * new_count
+        launch = jnp.take(pool, pid, axis=0)
         new_pos = jnp.where(respawn[:, None], launch[:, 0:3], new_pos)
         new_dir = jnp.where(respawn[:, None], launch[:, 3:6], new_dir)
         new_weight = jnp.where(respawn, 1.0, new_weight)
@@ -517,12 +627,14 @@ def trace_rays(key,
         new_alive = new_alive | respawn
         new_dmax = jnp.where(respawn, 0.0, new_dmax)
         new_trans = new_trans & ~respawn
+        new_gid = (state.gid if G == 1
+                   else jnp.where(respawn, pid // n_photons_g, state.gid))
 
         new_state = _PhotonState(
             pos=new_pos, direction=new_dir, weight=new_weight,
             is_direct=new_direct, alive=new_alive, tau=new_tau,
             d_max=new_dmax, k_null=k_null, transition=new_trans,
-            count=new_count, lane_id=state.lane_id)
+            count=new_count, lane_id=state.lane_id, gid=new_gid)
         return new_state, counts, key, step + 1
 
     # Staged width compaction (the long-walk tail killer): the measured
@@ -540,11 +652,12 @@ def trace_rays(key,
     # machine gets the same effect once the photon pool runs dry.
     widths = [n_lanes]
     if compact:
-        floor = min(2048, n_lanes)
+        floor = min(compact_floor, n_lanes)
         while widths[-1] > floor:
             widths.append(max(floor, widths[-1] // 4))
 
     step = jnp.zeros((), jnp.int32)
+    phase_steps = []
     for phase, width in enumerate(widths):
         is_last = phase == len(widths) - 1
 
@@ -558,20 +671,20 @@ def trace_rays(key,
 
         state, counts, key, step = jax.lax.while_loop(
             cond, body, (state, counts, key, step))
+        phase_steps.append(step)
         if not is_last:
             nxt = widths[phase + 1]
             order = jnp.argsort(jnp.logical_not(state.alive))[:nxt]
             state = jax.tree_util.tree_map(lambda a: a[order], state)
     steps = step
 
-    toa_src = tod_dir + tod_dif
-    flux_per_ray = toa_src / photons_per_pixel
-
+    # Deposits were flux-scaled at scatter time; only the volumetric
+    # normalization remains.
     def f2(c):
-        return (c * flux_per_ray).reshape(ny, nx)
+        return c.reshape(ny, nx)
 
     def f3(c):
-        return (c * flux_per_ray / dz).reshape(nz, ny, nx)
+        return (c / dz).reshape(nz, ny, nx)
 
     acc = counts["acc"].reshape(ncell * nz + ncell, 4)
     sfc = acc[ncell * nz:]
@@ -586,7 +699,9 @@ def trace_rays(key,
         flux_abs_dif=f3(absorb[:, 1]),
     )
     if return_aux:
-        return out, {"steps": steps, "n_lanes": n_lanes, "ppl": ppl}
+        return out, {"steps": steps, "n_lanes": n_lanes, "ppl": ppl,
+                     "phase_steps": jnp.stack(phase_steps),
+                     "phase_widths": np.asarray(widths)}
     return out
 
 

@@ -144,3 +144,63 @@ def test_cloud_shadow_3d():
     shaded = dirmap[:2, :2].mean()
     sunny = dirmap[2:, 2:].mean()
     assert shaded < 0.1 * sunny, (shaded, sunny)
+
+
+def test_pooled_window_matches_scan_sum():
+    """A pooled spectral window (trace_rays_pooled) must statistically
+    reproduce the sum of per-g-point traces: same per-(g, pixel) photon
+    counts by construction, flux-weighted scoring at scatter time."""
+    f0 = _homogeneous(1e-4, 2e-4)
+    # three "g-points": scaled optics + different TOD fluxes
+    scales = [0.5, 1.0, 2.0]
+    tods = [200.0, 700.0, 460.0]
+    alb = jnp.full((NY, NX), 0.2, jnp.float32)
+    sun = np.array([0.0, 0.6, -0.8])
+
+    stacked = [jnp.stack([f * s for s in scales]) for f in f0]
+    pooled = rt.trace_rays_pooled(
+        jax.random.PRNGKey(7), *stacked, None,
+        jnp.stack([alb] * 3), (2, 2, 2), (DZ, DY, DX),
+        jnp.asarray(tods, jnp.float32), jnp.zeros(3, jnp.float32), sun,
+        photons_per_pixel=256)
+
+    acc = None
+    for i, (s, td) in enumerate(zip(scales, tods)):
+        o = rt.trace_rays(
+            jax.random.PRNGKey(100 + i), *[f * s for f in f0], None, alb,
+            (2, 2, 2), (DZ, DY, DX), td, 0.0, sun, photons_per_pixel=256)
+        acc = o if acc is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, acc, o)
+
+    # exact bookkeeping: toa_down is deterministic
+    np.testing.assert_allclose(np.asarray(pooled.flux_toa_down),
+                               np.asarray(acc.flux_toa_down), rtol=1e-5)
+    # statistical agreement of the MC estimates
+    for name in ("flux_sfc_dir", "flux_sfc_dif", "flux_sfc_up",
+                 "flux_tod_up"):
+        a = float(np.asarray(getattr(pooled, name)).mean())
+        b = float(np.asarray(getattr(acc, name)).mean())
+        assert abs(a - b) <= 0.06 * sum(tods), (name, a, b)
+
+
+def test_pooled_energy_conservation():
+    """Pooled windows keep the Iwabuchi bookkeeping: launched energy =
+    TOD up + surface net + atmospheric absorption, summed over the
+    window."""
+    f0 = _homogeneous(5e-5, 2.0e-4)
+    stacked = [jnp.stack([f, f * 1.5]) for f in f0]
+    alb = jnp.full((NY, NX), 0.3, jnp.float32)
+    sun = np.array([np.sqrt(1 - 0.7 ** 2), 0.0, -0.7])
+    out = rt.trace_rays_pooled(
+        jax.random.PRNGKey(8), *stacked, None, jnp.stack([alb, alb]),
+        (2, 2, 2), (DZ, DY, DX), jnp.asarray([900.0, 460.0], jnp.float32),
+        jnp.zeros(2, jnp.float32), sun, photons_per_pixel=512)
+    toa_dn = float(np.asarray(out.flux_toa_down).mean())
+    tod_up = float(np.asarray(out.flux_tod_up).mean())
+    sfc_net = float((np.asarray(out.flux_sfc_dir) + np.asarray(out.flux_sfc_dif)
+                     - np.asarray(out.flux_sfc_up)).mean())
+    atm_abs = float((np.asarray(out.flux_abs_dir)
+                     + np.asarray(out.flux_abs_dif)).mean(axis=(1, 2)).sum() * DZ)
+    total = tod_up + sfc_net + atm_abs
+    assert toa_dn == pytest.approx(1360.0, rel=1e-6)
+    assert abs(total - toa_dn) / toa_dn < 0.03, (total, toa_dn)

@@ -90,6 +90,22 @@ def main():
         return out.flux_sfc_dir + out.flux_sfc_dif
 
     def run(key, kx):
+        if mode == "pooled":
+            # Spectral pooling (trace_rays_pooled): all NGPT g-points'
+            # photons share ONE launch pool; lanes respawn into the next
+            # g-point's photons so the long-walk tail is paid once per
+            # window instead of once per g-point (62% of iterations were
+            # tail at NGPT=1; tools/diag_rt_tail.py).
+            stacked = [jnp.broadcast_to(f, (NGPT,) + f.shape) for f in
+                       [kx, *fields[1:]]]
+            out = rt.trace_rays_pooled(
+                key, *stacked, None,
+                jnp.broadcast_to(alb, (NGPT,) + alb.shape), kn, grid_d,
+                jnp.full((NGPT,), 1361.0 * 0.8 / NGPT, jnp.float32),
+                jnp.zeros((NGPT,), jnp.float32), sun,
+                photons_per_pixel=PPP, independent_column=False,
+                compact=compact)
+            return out.flux_sfc_dir + out.flux_sfc_dif
         if mode == "lanes":
             # Spectral-lane merge (the drivers' --spectral-mode lanes): all
             # NGPT g-points trace concurrently in ONE batched photon loop —

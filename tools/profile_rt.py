@@ -40,11 +40,10 @@ def main():
     alb = jnp.full((ny, nx), 0.06, jnp.float32)
     sun = jnp.asarray(rt.sun_direction_from_angles(0.64, 0.0), jnp.float32)
     grid_d = (500.0, 100.0, 100.0)
-    # Reference-parity knull grid: rcemip rt uses ngrid (48, 48, 32) for
-    # a 64x64 domain (test_rcemip_input_rt.py:171-173) - a FINE grid, so
-    # k_null tracks local extinction and null collisions stay rare.
-    kn = (max(2, min(32, NZ // 8)), max(2, 3 * NX // 4),
-          max(2, 3 * NX // 4))
+    # knull grid: the measured sweep winner (PERF.md round 4) unless
+    # overridden — coarse beats reference-parity fine on lock-step SIMD.
+    kn_env = os.environ.get("BENCH_RT_KNULL")
+    kn = (tuple(int(v) for v in kn_env.split(",")) if kn_env else (4, 4, 4))
 
     def run(key, kx):
         out = rt.trace_rays(
