@@ -190,6 +190,7 @@ def trace_rays(key,
                photons_per_lane: Optional[int] = None,
                compact: bool = True,
                compact_floor: int = 128,
+               respawn_mode: str = "arith",
                return_aux: bool = False) -> RaytracerOutput:
     """Trace one spectral band/g-point through a 3D domain.
 
@@ -221,7 +222,7 @@ def trace_rays(key,
         mie_cdf=mie_cdf, mie_ang=mie_ang, max_steps=max_steps,
         k_ext_null_min=k_ext_null_min, photons_per_lane=photons_per_lane,
         compact=compact, compact_floor=compact_floor,
-        return_aux=return_aux)
+        return_aux=return_aux, respawn_mode=respawn_mode)
 
 
 def trace_rays_pooled(key,
@@ -239,6 +240,7 @@ def trace_rays_pooled(key,
                       photons_per_lane: Optional[int] = None,
                       compact: bool = True,
                       compact_floor: int = 128,
+                      respawn_mode: str = "arith",
                       return_aux: bool = False) -> RaytracerOutput:
     """Trace a WINDOW of G g-points in ONE photon loop (spectral pooling).
 
@@ -275,7 +277,7 @@ def trace_rays_pooled(key,
         mie_cdf=mie_cdf, mie_ang=mie_ang, max_steps=max_steps,
         k_ext_null_min=k_ext_null_min, photons_per_lane=photons_per_lane,
         compact=compact, compact_floor=compact_floor,
-        return_aux=return_aux)
+        return_aux=return_aux, respawn_mode=respawn_mode)
 
 
 def _trace_impl(key,
@@ -288,7 +290,7 @@ def _trace_impl(key,
                 k_ext_null_min: float,
                 photons_per_lane,
                 compact: bool, compact_floor: int,
-                return_aux: bool):
+                return_aux: bool, respawn_mode: str = "arith"):
     """Shared G-aware tracer core (see trace_rays / trace_rays_pooled)."""
     dtype = k_ext.dtype
     eps = config.eps(dtype)
@@ -348,34 +350,54 @@ def _trace_impl(key,
     knull_flat = k_null_grid.reshape(-1)               # (G*kn_ncell,)
     use_mie = mie_cdf is not None
 
-    # Precomputed launch pool (the bw tracer's design, raytracer_bw.py):
-    # every photon id's stratified start state is built ONCE before the
-    # loop, so an in-loop respawn is a single packed row gather instead of
-    # five fresh RNG draws + trig per step.  Photon id = lane +
-    # n_lanes*count covers every (g-point, pixel) pair exactly
-    # photons_per_pixel times, so toa_down is credited in full here (exact
-    # whenever the loop runs to natural termination; the max_steps fuse is
-    # a safety net far past any real walk length).  Pool order is g-major:
-    # pid -> g = pid // n_photons_g, pixel = pid % ncell.
-    key, k0 = jax.random.split(key)
-    u5 = jax.random.uniform(k0, (5, n_photons), dtype)
+    # Launch-state construction.  Photon id = lane + n_lanes*count covers
+    # every (g-point, pixel) pair exactly photons_per_pixel times, so
+    # toa_down is credited in full up front (exact whenever the loop runs
+    # to natural termination; the max_steps fuse is a safety net far past
+    # any real walk length).  Pool order is g-major: pid -> g =
+    # pid // n_photons_g, pixel = pid % ncell.
+    #
+    # respawn_mode="arith" (default): an in-loop respawn RECOMPUTES its
+    # stratified launch state from the photon id + five fresh uniforms
+    # drawn with the step's batch — the device trace showed the
+    # precomputed-pool row gather as the single most expensive
+    # per-iteration op (per-INDEX random access over a 131k-row pool,
+    # tools/profile_rt.py round 4), while the replacement int/trig work
+    # vectorizes on the VPU.  respawn_mode="pool" keeps the
+    # precomputed-pool gather (round-3 design) as an A/B.
+    def launch_state(pid, u5row):
+        """Stratified launch state for photon ids ``pid`` from 5 uniforms
+        (rows of shape pid.shape)."""
+        g = pid // n_photons_g
+        pix = pid % ncell
+        px = (pix % nx).astype(dtype)
+        py = (pix // nx).astype(dtype)
+        lpos = jnp.stack([(px + u5row[0]) * dx, (py + u5row[1]) * dy,
+                          jnp.full(pid.shape, size_z - s_min, dtype)],
+                         axis=1)
+        ldirect = u5row[2] >= (diff_frac[0] if G == 1
+                               else jnp.take(diff_frac, g))
+        mu_s = jnp.sqrt(u5row[3])
+        az_s = 2.0 * jnp.pi * u5row[4]
+        dif_dir = jnp.stack([mu_s * jnp.sin(az_s), mu_s * jnp.cos(az_s),
+                             -jnp.sqrt(1.0 - mu_s ** 2 + eps)], axis=1)
+        ldir = jnp.where(ldirect[:, None], sun_direction[None, :], dif_dir)
+        return lpos, ldir, ldirect, g
+
     pid_all = jnp.arange(n_photons, dtype=jnp.int32)
     g_all = pid_all // n_photons_g
     pix_all = pid_all % ncell
-    px = (pix_all % nx).astype(dtype)
-    py = (pix_all // nx).astype(dtype)
-    pool_pos = jnp.stack([(px + u5[0]) * dx, (py + u5[1]) * dy,
-                          jnp.full((n_photons,), size_z - s_min, dtype)],
-                         axis=1)
-    pool_direct = u5[2] >= diff_frac[g_all]
-    mu_s = jnp.sqrt(u5[3])
-    az_s = 2.0 * jnp.pi * u5[4]
-    dif_dir = jnp.stack([mu_s * jnp.sin(az_s), mu_s * jnp.cos(az_s),
-                         -jnp.sqrt(1.0 - mu_s ** 2 + eps)], axis=1)
-    pool_dir = jnp.where(pool_direct[:, None], sun_direction[None, :],
-                         dif_dir)
-    pool = jnp.concatenate(
-        [pool_pos, pool_dir, pool_direct[:, None].astype(dtype)], axis=1)
+    key, k0 = jax.random.split(key)
+    if respawn_mode == "pool":
+        u5 = jax.random.uniform(k0, (5, n_photons), dtype)
+        pool_pos, pool_dir, pool_direct, _ = launch_state(pid_all, u5)
+        pool = jnp.concatenate(
+            [pool_pos, pool_dir, pool_direct[:, None].astype(dtype)],
+            axis=1)
+    else:
+        u5 = jax.random.uniform(k0, (5, n_lanes), dtype)
+        pool_pos, pool_dir, pool_direct, _ = launch_state(
+            pid_all[:n_lanes], u5)
 
     state = _PhotonState(
         pos=pool_pos[:n_lanes], direction=pool_dir[:n_lanes],
@@ -418,8 +440,11 @@ def _trace_impl(key,
         # Six draws per step: rows 3/4 are SHARED between the surface branch
         # (Lambertian mu/azimuth) and the collision branch (scatter
         # type/angle) — a lane is in exactly one branch per step, so each
-        # uniform is consumed once and independence is preserved.
-        u = jax.random.uniform(ku, (6, width), dtype)
+        # uniform is consumed once and independence is preserved.  With
+        # arithmetic respawn, five more rows feed the respawn launch
+        # states (consumed only by lanes whose photon died this step).
+        n_rows = 6 if respawn_mode == "pool" else 11
+        u = jax.random.uniform(ku, (n_rows, width), dtype)
 
         pos, direction = state.pos, state.direction
         alive = state.alive
@@ -619,16 +644,22 @@ def _trace_impl(key,
         respawn = alive & ~new_alive & (state.count < ppl - 1)
         new_count = jnp.where(respawn, state.count + 1, state.count)
         pid = state.lane_id + n_lanes * new_count
-        launch = jnp.take(pool, pid, axis=0)
-        new_pos = jnp.where(respawn[:, None], launch[:, 0:3], new_pos)
-        new_dir = jnp.where(respawn[:, None], launch[:, 3:6], new_dir)
+        if respawn_mode == "pool":
+            launch = jnp.take(pool, pid, axis=0)
+            lpos, ldir = launch[:, 0:3], launch[:, 3:6]
+            ldirect = launch[:, 6] > 0.5
+            lgid = pid // n_photons_g
+        else:
+            lpos, ldir, ldirect, lgid = launch_state(pid, u[6:11])
+        new_pos = jnp.where(respawn[:, None], lpos, new_pos)
+        new_dir = jnp.where(respawn[:, None], ldir, new_dir)
         new_weight = jnp.where(respawn, 1.0, new_weight)
-        new_direct = jnp.where(respawn, launch[:, 6] > 0.5, new_direct)
+        new_direct = jnp.where(respawn, ldirect, new_direct)
         new_alive = new_alive | respawn
         new_dmax = jnp.where(respawn, 0.0, new_dmax)
         new_trans = new_trans & ~respawn
         new_gid = (state.gid if G == 1
-                   else jnp.where(respawn, pid // n_photons_g, state.gid))
+                   else jnp.where(respawn, lgid, state.gid))
 
         new_state = _PhotonState(
             pos=new_pos, direction=new_dir, weight=new_weight,
