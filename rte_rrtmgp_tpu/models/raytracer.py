@@ -160,6 +160,16 @@ def _scatter_direction(direction, cos_scat, u_phi):
     return new_dir
 
 
+def _small_lookup(table, idx):
+    """table[idx] for a TINY (G,) table without a gather op: a gather's
+    per-index cost on TPU is ~hundreds of cycles regardless of table size
+    (tools/microbench_rt_mem.py), while a one-hot contraction over a
+    G-wide axis is pure vector work."""
+    G = table.shape[0]
+    oh = (idx[:, None] == jnp.arange(G, dtype=idx.dtype)[None, :])
+    return jnp.sum(jnp.where(oh, table[None, :], 0), axis=1)
+
+
 class _PhotonState(NamedTuple):
     pos: object          # (N, 3)
     direction: object    # (N, 3)
@@ -347,6 +357,10 @@ def _trace_impl(key,
         jnp.broadcast_to(reff_col[None, :, None], (G, ncol, 1)),
         jnp.broadcast_to(jnp.tile(alb, (1, nz))[:, :, None], (G, ncol, 1)),
     ], axis=2).reshape(G * ncol, 8)
+    # Force ONE materialized row table: without the barrier XLA may keep
+    # `fields` as a concatenate-of-broadcasts and decompose the in-loop
+    # row gather into one gather PER SOURCE OPERAND (per-index cost x8).
+    fields = jax.lax.optimization_barrier(fields)
     knull_flat = k_null_grid.reshape(-1)               # (G*kn_ncell,)
     use_mie = mie_cdf is not None
 
@@ -376,7 +390,7 @@ def _trace_impl(key,
                           jnp.full(pid.shape, size_z - s_min, dtype)],
                          axis=1)
         ldirect = u5row[2] >= (diff_frac[0] if G == 1
-                               else jnp.take(diff_frac, g))
+                               else _small_lookup(diff_frac, g))
         mu_s = jnp.sqrt(u5row[3])
         az_s = 2.0 * jnp.pi * u5row[4]
         dif_dir = jnp.stack([mu_s * jnp.sin(az_s), mu_s * jnp.cos(az_s),
@@ -468,7 +482,13 @@ def _trace_impl(key,
         ijk_n = (k_n * kny + j_n) * knx + i_n
         if G > 1:
             ijk_n = ijk_n + state.gid * kn_ncell
-        k_null_new = knull_flat[ijk_n]
+        # Coarse knull grids (the measured sweep winners are 64-512
+        # cells) read via the one-hot contraction — a gather pays
+        # ~hundreds of cycles PER INDEX regardless of table size.
+        if G * kn_ncell <= 128:
+            k_null_new = _small_lookup(knull_flat, ijk_n)
+        else:
+            k_null_new = knull_flat[ijk_n]
         d_max = jnp.where(need_grid, d_new, state.d_max)
         k_null = jnp.where(need_grid, k_null_new, state.k_null)
 
@@ -568,7 +588,7 @@ def _trace_impl(key,
         # Deposits are scaled by the lane's g-point flux-per-photon so
         # pooled windows share ONE physical-units accumulator.
         scale = (flux_per_ray[0] if G == 1
-                 else jnp.take(flux_per_ray, state.gid))
+                 else _small_lookup(flux_per_ray, state.gid))
         dir_off = jnp.where(state.is_direct, 0, 1)
         idx_a = jnp.where(
             m_col, 4 * idx + dir_off,
