@@ -181,8 +181,9 @@ class _PhotonState(NamedTuple):
     k_null: object       # (N,)
     transition: object   # (N,) bool
     count: object        # (N,) photons already launched by this lane
+                         # (stride modes; None in fifo mode)
     lane_id: object      # (N,) ORIGINAL lane index (pool identity; stable
-                         # across width compaction)
+                         # across width compaction; None in fifo mode)
     gid: object          # (N,) g-point index of the lane's CURRENT photon
                          # (pooled windows; constant 0 when G == 1)
 
@@ -200,7 +201,7 @@ def trace_rays(key,
                photons_per_lane: Optional[int] = None,
                compact: bool = True,
                compact_floor: int = 128,
-               respawn_mode: str = "arith",
+               respawn_mode: str = "fifo",
                return_aux: bool = False) -> RaytracerOutput:
     """Trace one spectral band/g-point through a 3D domain.
 
@@ -250,7 +251,7 @@ def trace_rays_pooled(key,
                       photons_per_lane: Optional[int] = None,
                       compact: bool = True,
                       compact_floor: int = 128,
-                      respawn_mode: str = "arith",
+                      respawn_mode: str = "fifo",
                       return_aux: bool = False) -> RaytracerOutput:
     """Trace a WINDOW of G g-points in ONE photon loop (spectral pooling).
 
@@ -300,7 +301,7 @@ def _trace_impl(key,
                 k_ext_null_min: float,
                 photons_per_lane,
                 compact: bool, compact_floor: int,
-                return_aux: bool, respawn_mode: str = "arith"):
+                return_aux: bool, respawn_mode: str = "fifo"):
     """Shared G-aware tracer core (see trace_rays / trace_rays_pooled)."""
     dtype = k_ext.dtype
     eps = config.eps(dtype)
@@ -364,21 +365,27 @@ def _trace_impl(key,
     knull_flat = k_null_grid.reshape(-1)               # (G*kn_ncell,)
     use_mie = mie_cdf is not None
 
-    # Launch-state construction.  Photon id = lane + n_lanes*count covers
-    # every (g-point, pixel) pair exactly photons_per_pixel times, so
-    # toa_down is credited in full up front (exact whenever the loop runs
-    # to natural termination; the max_steps fuse is a safety net far past
-    # any real walk length).  Pool order is g-major: pid -> g =
-    # pid // n_photons_g, pixel = pid % ncell.
+    # Launch-state construction.  Every photon id in [0, n_photons) is
+    # launched exactly once, so toa_down is credited in full up front
+    # (exact whenever the loop runs to natural termination; the max_steps
+    # fuse is a safety net far past any real walk length).  Pool order is
+    # g-major: pid -> g = pid // n_photons_g, pixel = pid % ncell.
     #
-    # respawn_mode="arith" (default): an in-loop respawn RECOMPUTES its
-    # stratified launch state from the photon id + five fresh uniforms
-    # drawn with the step's batch — the device trace showed the
-    # precomputed-pool row gather as the single most expensive
-    # per-iteration op (per-INDEX random access over a 131k-row pool,
-    # tools/profile_rt.py round 4), while the replacement int/trig work
-    # vectorizes on the VPU.  respawn_mode="pool" keeps the
-    # precomputed-pool gather (round-3 design) as an A/B.
+    # respawn_mode:
+    # * "fifo" (default): a GLOBAL photon queue — the SIMD analog of the
+    #   reference's persistent-thread photon counter
+    #   (raytracer_kernels.cu:120-134).  Respawning lanes take the next
+    #   queue ids (carried scalar + cumsum rank over this step's dying
+    #   lanes), so (a) load balance is perfect — a lane with one long
+    #   photon never strands a static quota, and (b) in pooled windows the
+    #   in-flight pid window stays TIGHT, keeping the row-gather's index
+    #   locality (the measured G=8 gather cost was 4x the G=1 cost purely
+    #   from index spread).  Launch states are recomputed arithmetically
+    #   from the id + five fresh per-step uniforms.
+    # * "arith": static stride assignment (pid = lane + n_lanes*count),
+    #   launch states recomputed arithmetically.
+    # * "pool": stride assignment + precomputed-pool row gather (round-3
+    #   design) — the gather measured as the top per-iteration op.
     def launch_state(pid, u5row):
         """Stratified launch state for photon ids ``pid`` from 5 uniforms
         (rows of shape pid.shape)."""
@@ -413,6 +420,7 @@ def _trace_impl(key,
         pool_pos, pool_dir, pool_direct, _ = launch_state(
             pid_all[:n_lanes], u5)
 
+    fifo = respawn_mode == "fifo"
     state = _PhotonState(
         pos=pool_pos[:n_lanes], direction=pool_dir[:n_lanes],
         weight=jnp.ones(n_lanes, dtype),
@@ -422,8 +430,8 @@ def _trace_impl(key,
         d_max=jnp.zeros(n_lanes, dtype),
         k_null=jnp.ones(n_lanes, dtype),
         transition=jnp.zeros(n_lanes, dtype=bool),
-        count=jnp.zeros(n_lanes, jnp.int32),
-        lane_id=jnp.arange(n_lanes, dtype=jnp.int32),
+        count=None if fifo else jnp.zeros(n_lanes, jnp.int32),
+        lane_id=None if fifo else jnp.arange(n_lanes, dtype=jnp.int32),
         gid=g_all[:n_lanes],
     )
     counts = dict(
@@ -448,7 +456,7 @@ def _trace_impl(key,
         return jnp.clip(i, 0, nmax - 1)
 
     def body(carry):
-        state, counts, key, step = carry
+        state, counts, key, step, next_pid = carry
         width = state.alive.shape[0]
         key, ku = jax.random.split(key)
         # Six draws per step: rows 3/4 are SHARED between the surface branch
@@ -484,8 +492,11 @@ def _trace_impl(key,
             ijk_n = ijk_n + state.gid * kn_ncell
         # Coarse knull grids (the measured sweep winners are 64-512
         # cells) read via the one-hot contraction — a gather pays
-        # ~hundreds of cycles PER INDEX regardless of table size.
-        if G * kn_ncell <= 128:
+        # ~hundreds of cycles PER INDEX regardless of table size (a
+        # 512-entry knull gather measured 269 us/iter at 32k lanes in
+        # the pooled-mode device trace, vs ~tens of us for the fused
+        # compare/select/reduce).
+        if G * kn_ncell <= 1024:
             k_null_new = _small_lookup(knull_flat, ijk_n)
         else:
             k_null_new = knull_flat[ijk_n]
@@ -661,16 +672,31 @@ def _trace_impl(key,
         # ---- respawn: a lane whose photon died launches its next photon
         # immediately (reference photons-per-thread loop) — one packed row
         # gather from the precomputed launch pool ----
-        respawn = alive & ~new_alive & (state.count < ppl - 1)
-        new_count = jnp.where(respawn, state.count + 1, state.count)
-        pid = state.lane_id + n_lanes * new_count
-        if respawn_mode == "pool":
-            launch = jnp.take(pool, pid, axis=0)
-            lpos, ldir = launch[:, 0:3], launch[:, 3:6]
-            ldirect = launch[:, 6] > 0.5
-            lgid = pid // n_photons_g
-        else:
+        if fifo:
+            # Global photon queue: dying lanes take the next queue ids in
+            # lane order (scalar counter + exclusive cumsum rank).
+            dying = alive & ~new_alive
+            rank = jnp.cumsum(dying.astype(jnp.int32)) - 1
+            respawn = dying & (next_pid + rank < n_photons)
+            pid = jnp.minimum(next_pid + jnp.maximum(rank, 0),
+                              n_photons - 1)
+            new_count = None
+            new_next = jnp.minimum(
+                next_pid + jnp.sum(dying.astype(jnp.int32)),
+                jnp.int32(n_photons))
             lpos, ldir, ldirect, lgid = launch_state(pid, u[6:11])
+        else:
+            respawn = alive & ~new_alive & (state.count < ppl - 1)
+            new_count = jnp.where(respawn, state.count + 1, state.count)
+            pid = state.lane_id + n_lanes * new_count
+            new_next = next_pid
+            if respawn_mode == "pool":
+                launch = jnp.take(pool, pid, axis=0)
+                lpos, ldir = launch[:, 0:3], launch[:, 3:6]
+                ldirect = launch[:, 6] > 0.5
+                lgid = pid // n_photons_g
+            else:
+                lpos, ldir, ldirect, lgid = launch_state(pid, u[6:11])
         new_pos = jnp.where(respawn[:, None], lpos, new_pos)
         new_dir = jnp.where(respawn[:, None], ldir, new_dir)
         new_weight = jnp.where(respawn, 1.0, new_weight)
@@ -686,7 +712,7 @@ def _trace_impl(key,
             is_direct=new_direct, alive=new_alive, tau=new_tau,
             d_max=new_dmax, k_null=k_null, transition=new_trans,
             count=new_count, lane_id=state.lane_id, gid=new_gid)
-        return new_state, counts, key, step + 1
+        return new_state, counts, key, step + 1, new_next
 
     # Staged width compaction (the long-walk tail killer): the measured
     # alive-lane profile is ~25 events per photon but a ~50x longer maximum
@@ -708,20 +734,21 @@ def _trace_impl(key,
             widths.append(max(floor, widths[-1] // 4))
 
     step = jnp.zeros((), jnp.int32)
+    next_pid0 = jnp.int32(n_lanes)
     phase_steps = []
     for phase, width in enumerate(widths):
         is_last = phase == len(widths) - 1
 
         def cond(carry, _last=is_last, _w=width):
-            state, counts, key, step = carry
+            state, counts, key, step, next_pid = carry
             go = jnp.logical_and(jnp.any(state.alive), step < max_steps)
             if not _last:
                 go = jnp.logical_and(
                     go, jnp.sum(state.alive.astype(jnp.int32)) > _w // 4)
             return go
 
-        state, counts, key, step = jax.lax.while_loop(
-            cond, body, (state, counts, key, step))
+        state, counts, key, step, next_pid0 = jax.lax.while_loop(
+            cond, body, (state, counts, key, step, next_pid0))
         phase_steps.append(step)
         if not is_last:
             nxt = widths[phase + 1]
