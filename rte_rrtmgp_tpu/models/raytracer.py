@@ -303,6 +303,9 @@ def _trace_impl(key,
                 compact: bool, compact_floor: int,
                 return_aux: bool, respawn_mode: str = "fifo"):
     """Shared G-aware tracer core (see trace_rays / trace_rays_pooled)."""
+    if respawn_mode not in ("fifo", "arith", "pool"):
+        raise ValueError(f"unknown respawn_mode {respawn_mode!r}; "
+                         "expected 'fifo', 'arith', or 'pool'")
     dtype = k_ext.dtype
     eps = config.eps(dtype)
     G, nz, ny, nx = k_ext.shape
@@ -310,6 +313,12 @@ def _trace_impl(key,
     ncol = ncell * nz                       # cells per g-point
     n_photons_g = ncell * photons_per_pixel
     n_photons = G * n_photons_g
+    # Photon ids and flat accumulator indices are int32 on purpose (TPU
+    # gathers/scatters want 32-bit indices); guard the ranges explicitly.
+    if n_photons >= 2 ** 31 or 4 * (ncell * nz + ncell) >= 2 ** 31:
+        raise ValueError(
+            f"photon pool too large for int32 ids: G={G} ncell={ncell} "
+            f"ppp={photons_per_pixel} -> n_photons={n_photons}")
     if photons_per_lane is None:
         if G == 1:
             photons_per_lane = max(1, min(8, photons_per_pixel,
@@ -676,13 +685,16 @@ def _trace_impl(key,
             # Global photon queue: dying lanes take the next queue ids in
             # lane order (scalar counter + exclusive cumsum rank).
             dying = alive & ~new_alive
-            rank = jnp.cumsum(dying.astype(jnp.int32)) - 1
+            # dtype=int32 on the reductions: under jax_enable_x64 a plain
+            # sum/cumsum of int32 promotes to int64, which would change the
+            # next_pid while_loop carry dtype and fail the loop typecheck.
+            rank = jnp.cumsum(dying, dtype=jnp.int32) - 1
             respawn = dying & (next_pid + rank < n_photons)
             pid = jnp.minimum(next_pid + jnp.maximum(rank, 0),
                               n_photons - 1)
             new_count = None
             new_next = jnp.minimum(
-                next_pid + jnp.sum(dying.astype(jnp.int32)),
+                next_pid + jnp.sum(dying, dtype=jnp.int32),
                 jnp.int32(n_photons))
             lpos, ldir, ldirect, lgid = launch_state(pid, u[6:11])
         else:

@@ -13,7 +13,8 @@ TPU-native re-design of ``src_kernels_cuda_rt/raytracer_kernels_bw.cu`` +
   (k_min integrated deterministically, k_max-k_min as null-collision russian
   roulette) in a masked inner while_loop,
 * phase kinds: Lambertian / Specular (water surfaces, direct beam) /
-  Rayleigh / Henyey-Greenstein (Mie LUT reserved for the Mie tables),
+  Rayleigh / Henyey-Greenstein / Mie (LUT cdf sampling + NEE phase value,
+  raytracer_kernels_bw.cu:276-292,328),
 * camera models: fisheye (0), rectangular a la Villefranque (1),
   top-of-atmosphere nadir radiances (2).
 
