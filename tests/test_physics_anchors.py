@@ -18,8 +18,12 @@ Anchors:
   - Beer-Lambert direct-beam transmission, exact.
   - conservative-scattering SW energy closure and the semi-infinite
     conservative albedo -> 1 limit.
+  - finite conservative slab under diffuse illumination: R = gamma*tau /
+    (1 + gamma*tau), gamma = 3(1-g)/4 (Meador & Weaver 1980 conservative
+    limit) — pins the two-stream coefficients AND the adding recursion.
   - Rayleigh / Henyey-Greenstein sampler moments vs the analytic phase
     function moments (<mu>=0, <mu^2>=2/5 for Rayleigh; <mu>=g for HG).
+  - Mie cdf-table sampler mean cosine vs the LUT's generating HG lobes.
 """
 
 import numpy as np
@@ -148,6 +152,58 @@ def test_sw_semi_infinite_conservative_albedo():
     fu, fd, _ = sw_solver_2stream(tau, ssa, g, mu0, alb, alb, inc)
     r = float(fu[0, 0, 0] / fd[0, 0, 0])
     assert r > 0.999
+
+
+@pytest.mark.parametrize("g", [0.0, 0.5, 0.85])
+@pytest.mark.parametrize("tau_tot", [0.5, 2.0, 10.0])
+def test_sw_conservative_slab_diffuse_reflectance(g, tau_tot):
+    """Finite conservative slab under DIFFUSE illumination: the two-stream
+    reflectance has the closed form R = gamma*tau / (1 + gamma*tau) with
+    gamma = 3(1-g)/4 (Meador & Weaver 1980 conservative limit; Petty ch. 13).
+    For ssa=1 the solver's gamma1 == gamma2, k -> 0, and both rdif and the
+    multi-layer adding recursion telescope to this form — so the anchor
+    checks the coefficient formulas AND the adding sweep against a textbook
+    value, with no oracle involved.  Transmittance follows as 1 - R
+    (conservative closure)."""
+    nlay = 16
+    mu0 = jnp.asarray([0.7], jnp.float64)     # irrelevant: no direct beam
+    tau = jnp.full((1, nlay, 1), tau_tot / nlay, jnp.float64)
+    ssa = jnp.ones_like(tau)
+    gg = jnp.full_like(tau, g)
+    alb = jnp.zeros((1, 1), jnp.float64)      # black surface
+    inc_dir = jnp.zeros((1, 1), jnp.float64)
+    inc_dif = jnp.ones((1, 1), jnp.float64)
+    fu, fd, fdir = sw_solver_2stream(tau, ssa, gg, mu0, alb, alb,
+                                     inc_dir, inc_dif)
+    gamma = 3.0 * (1.0 - g) / 4.0
+    expect_r = gamma * tau_tot / (1.0 + gamma * tau_tot)
+    r = float(fu[0, 0, 0])
+    t = float(fd[0, -1, 0])
+    assert float(jnp.max(jnp.abs(fdir))) == 0.0
+    np.testing.assert_allclose(r, expect_r, rtol=1e-6)
+    np.testing.assert_allclose(t, 1.0 - expect_r, rtol=1e-6)
+
+
+def test_mie_sampler_mean_cosine_matches_lut_generator():
+    """The synthetic Mie LUT encodes per-r_eff Henyey-Greenstein lobes
+    (data/synthetic.make_mie_raw: g = linspace(0.70, 0.92, n_re)); the
+    cdf-table sampler's mean cosine must reproduce the generating g at the
+    grid points.  Tolerance covers the 40-point cdf discretization."""
+    from rte_rrtmgp_tpu.data.synthetic import make_mie_raw
+    from rte_rrtmgp_tpu.models.raytracer import _mie_sample
+
+    raw = make_mie_raw()
+    cdf = jnp.asarray(raw["phase_cdf"][0], jnp.float64)        # band 0
+    ang = jnp.asarray(raw["phase_cdf_angle"][0], jnp.float64)  # (n_re, n_mie)
+    n = 100_000
+    u = (jnp.arange(n, dtype=jnp.float64) + 0.5) / n
+    n_re = ang.shape[0]
+    gs = np.linspace(0.70, 0.92, n_re)
+    for ire in (0, n_re // 2, n_re - 1):
+        r_eff = jnp.full((n,), 2.5 + ire, jnp.float64)  # exact grid point
+        mu = np.asarray(_mie_sample(cdf, ang, u, r_eff))
+        assert abs(mu.mean() - gs[ire]) < 0.02, (ire, mu.mean(), gs[ire])
+        assert mu.min() >= -1.0 and mu.max() <= 1.0
 
 
 def test_rayleigh_sampler_moments():

@@ -80,13 +80,17 @@ def main():
     mode = os.environ.get("BENCH_RT_MODE", "scan")
     # BENCH_RT_COMPACT=0 disables staged width compaction (A/B knob).
     compact = os.environ.get("BENCH_RT_COMPACT", "1") != "0"
+    # BENCH_RT_RESPAWN selects the photon-respawn strategy (fifo/arith/pool)
+    # so the default can be A/B'd on hardware before shipping.
+    respawn = os.environ.get("BENCH_RT_RESPAWN", "fifo")
 
     def one_gpt(key, kx, g):
         out = rt.trace_rays(
             jax.random.fold_in(key, g), kx, *fields[1:], None, alb,
             kn, grid_d, jnp.float32(1361.0 * 0.8 / NGPT),
             jnp.float32(0.0), sun, photons_per_pixel=PPP,
-            independent_column=False, compact=compact)
+            independent_column=False, compact=compact,
+            respawn_mode=respawn)
         return out.flux_sfc_dir + out.flux_sfc_dif
 
     def run(key, kx):
@@ -104,7 +108,7 @@ def main():
                 jnp.full((NGPT,), 1361.0 * 0.8 / NGPT, jnp.float32),
                 jnp.zeros((NGPT,), jnp.float32), sun,
                 photons_per_pixel=PPP, independent_column=False,
-                compact=compact)
+                compact=compact, respawn_mode=respawn)
             return out.flux_sfc_dir + out.flux_sfc_dif
         if mode == "lanes":
             # Spectral-lane merge (the drivers' --spectral-mode lanes): all
@@ -150,6 +154,7 @@ def main():
         "unit": "photons/s",
         "ms_per_gpt": round(best / NGPT * 1e3, 2),
         "sfc_mean_wm2": round(warm, 3),
+        "respawn": respawn,
         "platform": __import__("jax").devices()[0].platform,
     }))
 
