@@ -48,9 +48,11 @@ R1_BASELINE_OLD_METHOD_COLGPT_PER_S = 8.19e6  # block_until_ready (invalid)
 # backend failure is a reporting bug, not a measurement (VERDICT r3 item 8).
 # Update alongside PERF.md whenever the headline bench is re-measured.
 LAST_MEASURED = {
-    "colgpt_per_s": 2.617e7, "ms_per_step": 37.56, "vs_baseline": 627.7,
-    "mc_photons_per_s": 10468, "date": "2026-08-19",
-    "note": "BENCH_r03.json final round-3 measurement (see PERF.md)",
+    "colgpt_per_s": 2.642e7, "ms_per_step": 37.21, "vs_baseline": 633.6,
+    "mc_photons_per_s": 102838, "date": "2026-08-20",
+    "note": "headline step: BENCH_r04.json; MC: round-5 fifo-respawn "
+            "measurement at the 64x64x256 flagship domain, knull (4,4,4) "
+            "(see PERF.md round 5)",
 }
 
 
@@ -184,65 +186,38 @@ def main():
     }))
 
 
-def _bench_mc_tracer(jax, nx=64, nz=64, ppp=32):
+def _bench_mc_tracer(jax, nx=64, nz=256, ppp=32):
     """Second headline metric (VERDICT r1 item 2): forward Monte-Carlo
-    tracer photons/s at the reference's RCEMIP-like flagship rt workload
-    (64x64 columns, rcemip/test_rcemip_input.py; photon grid per
-    src_cuda_rt/Raytracer.cu:344-374).  Single g-point trace, timed
-    fetch-synchronized with value-varying extinction."""
-    import jax.numpy as jnp
+    tracer photons/s at the reference's RCEMIP flagship rt workload
+    (64x64 columns x 256 layers, rcemip/test_rcemip_input.py; photon grid
+    per src_cuda_rt/Raytracer.cu:344-374).  Measured at BOTH knull grids so
+    the headline cannot be read as grid-shopping (VERDICT r4 item 4):
+    the coarse (4,4,4) sweep winner AND the reference-parity (32,48,48)
+    grid (the rcemip input's ngrid convention).  Workload + timing are
+    tools/bench_rt.measure_mc — the same traces as the standalone bench,
+    so the persistent compilation cache is shared."""
+    import sys
 
-    from rte_rrtmgp_tpu.models import raytracer as rt
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from bench_rt import measure_mc
 
-    ny = nx
-    rng = np.random.default_rng(0)
-    z = (np.arange(nz) + 0.5) / nz
-    k_gas = (0.3e-3 * np.exp(-3.0 * z))[:, None, None] * np.ones((nz, ny, nx))
-    cloud = np.zeros((nz, ny, nx), np.float32)
-    deck = rng.random((ny, nx)) < 0.4
-    zc0, zc1 = int(0.2 * nz), int(0.3 * nz)
-    cloud[zc0:zc1] = 10e-3 * deck * rng.uniform(0.5, 1.5, (zc1 - zc0, ny, nx))
-    k_ext = jnp.asarray(k_gas + cloud, jnp.float32)
-    fields = [jnp.asarray(k_gas * 0.3, jnp.float32),
-              jnp.asarray(cloud * 0.9999, jnp.float32),
-              jnp.zeros((nz, ny, nx), jnp.float32),
-              jnp.full((nz, ny, nx), 0.86, jnp.float32),
-              jnp.zeros((nz, ny, nx), jnp.float32)]
-    alb = jnp.full((ny, nx), 0.06, jnp.float32)
-    sun = jnp.asarray(rt.sun_direction_from_angles(0.64, 0.0), jnp.float32)
-
-    def run(key, kx):
-        out = rt.trace_rays(
-            key, kx, *fields, None, alb,
-            # knull (4,4,4): winner of the round-4 shape sweep (PERF.md) —
-            # the SIMD tracer pays one while iteration per knull-cell
-            # crossing, so the coarse grid beats the reference-parity
-            # (z,48,48) grid 4.1x at equal physics.
-            (4, 4, 4),
-            (500.0, 100.0, 100.0), jnp.float32(1361.0 * 0.4),
-            jnp.float32(0.0), sun, photons_per_pixel=ppp,
-            independent_column=False)
-        return out.flux_sfc_dir + out.flux_sfc_dif
-
-    fn = jax.jit(run)
-    key = jax.random.PRNGKey(0)
-    warm = float(np.asarray(fn(key, k_ext)).mean())
-    assert np.isfinite(warm) and warm > 0, warm
-
-    iters, best = 3, float("inf")
-    for rep in range(2):
-        kx = k_ext
-        t0 = time.perf_counter()
-        for it in range(iters):
-            out = fn(jax.random.fold_in(key, 1 + rep * iters + it), kx)
-            kx = k_ext * (1.0 + 1e-6 * (it + 1)) + 0.0 * out[0, 0]
-        float(out.sum())
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return {
-        "mc_photons_per_s": round(ny * nx * ppp / best, 1),
-        "mc_ms_per_gpt": round(best * 1e3, 2),
-        "mc_workload": f"{nx}x{ny}x{nz}, {ppp} ppp, 1 gpt",
+    coarse = measure_mc(nx=nx, nz=nz, ppp=ppp, kn=(4, 4, 4))
+    out = {
+        "mc_photons_per_s": coarse["value"],
+        "mc_ms_per_gpt": coarse["ms_per_gpt"],
+        "mc_workload": f"{nx}x{nx}x{nz}, {ppp} ppp, 1 gpt, "
+                       "knull (4,4,4), fifo respawn",
     }
+    if os.environ.get("BENCH_RT_PARITY", "1") != "0":
+        parity = measure_mc(nx=nx, nz=nz, ppp=ppp, kn=(32, 48, 48),
+                            iters=2, reps=2)
+        out.update(
+            mc_photons_per_s_parity_knull=parity["value"],
+            mc_parity_workload=f"{nx}x{nx}x{nz}, {ppp} ppp, 1 gpt, "
+                               "knull (32,48,48) = the reference rcemip "
+                               "ngrid convention, fifo respawn")
+    return out
 
 
 if __name__ == "__main__":

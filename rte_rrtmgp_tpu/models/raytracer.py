@@ -36,6 +36,25 @@ from .. import config
 W_THRES = 0.5  # Russian-roulette threshold (raytracer_kernels.cu:11)
 
 
+def _resolve_respawn_mode(mode: str) -> str:
+    """``"auto"`` -> env > persisted autotune winner (tuning/tune_rt.py,
+    the reference's rte_rrtmgp_kernel_tuning.txt analog) > ``"fifo"``."""
+    if mode != "auto":
+        return mode
+    import os
+
+    env = os.environ.get("RTE_RRTMGP_RT_RESPAWN")
+    if env:
+        return env
+    try:
+        from ..utils import tuner
+
+        t = tuner.best_workload_opts("rt_trace") or {}
+        return t.get("respawn_mode") or "fifo"
+    except Exception:
+        return "fifo"
+
+
 class RaytracerOutput(NamedTuple):
     flux_toa_down: object   # (ny, nx) W m-2
     flux_tod_up: object
@@ -303,9 +322,10 @@ def _trace_impl(key,
                 compact: bool, compact_floor: int,
                 return_aux: bool, respawn_mode: str = "fifo"):
     """Shared G-aware tracer core (see trace_rays / trace_rays_pooled)."""
+    respawn_mode = _resolve_respawn_mode(respawn_mode)
     if respawn_mode not in ("fifo", "arith", "pool"):
         raise ValueError(f"unknown respawn_mode {respawn_mode!r}; "
-                         "expected 'fifo', 'arith', or 'pool'")
+                         "expected 'fifo', 'arith', 'pool', or 'auto'")
     dtype = k_ext.dtype
     eps = config.eps(dtype)
     G, nz, ny, nx = k_ext.shape

@@ -194,6 +194,7 @@ def trace_rays_bw(key, camera: Camera,
                   rays_per_lane: Optional[int] = None,
                   compact: bool = True,
                   nee_mode: str = "walk",
+                  respawn_mode: str = "auto",
                   r_eff: Optional[object] = None,
                   mie_cdf: Optional[object] = None,
                   mie_ang: Optional[object] = None,
@@ -220,7 +221,31 @@ def trace_rays_bw(key, camera: Camera,
     ``asy_split_bg`` (kbg, 3) scattering fractions [gas, cld, aer] are the
     1D profile above the domain; ``z_lev_bg`` (kbg+1,) with z_lev_bg[0] ==
     domain top height and z_lev_bg[-1] == TOA.
+
+    ``respawn_mode``: how a lane whose ray died picks its next camera ray —
+    ``"fifo"`` (global ray queue: scalar next-id carry + per-step cumsum
+    ranks, launch states recomputed arithmetically from the ray id — the
+    forward tracer's measured-fastest mode), ``"pool"`` (static per-lane
+    quota + precomputed launch-table row gather, the round-4 design), or
+    ``"auto"`` (env RTE_RRTMGP_BW_RESPAWN > persisted tune_bw.py winner >
+    ``"pool"``).
     """
+    if respawn_mode == "auto":
+        import os
+
+        respawn_mode = os.environ.get("RTE_RRTMGP_BW_RESPAWN") or ""
+        if not respawn_mode:
+            try:
+                from ..utils import tuner
+
+                t = tuner.best_workload_opts("bw_render") or {}
+                respawn_mode = t.get("respawn_mode") or "pool"
+            except Exception:
+                respawn_mode = "pool"
+    if respawn_mode not in ("fifo", "pool"):
+        raise ValueError(f"unknown respawn_mode {respawn_mode!r}; "
+                         "expected 'fifo', 'pool', or 'auto'")
+    fifo = respawn_mode == "fifo"
     dtype = k_ext.dtype
     eps = config.eps(dtype)
     nz, ny, nx = k_ext.shape
@@ -512,10 +537,23 @@ def trace_rays_bw(key, camera: Camera,
     camera_count = camera_count.at[pix_all].add(
         jnp.where(sees_sun, t_direct, 0.0))
 
-    # Packed launch table: (pos3, dir3, pix, bg_idx) per ray id.
-    launch_table = jnp.concatenate(
+    # Packed launch table: (pos3, dir3, pix, bg_idx) per ray id ("pool"
+    # mode only — fifo recomputes launch states arithmetically).
+    launch_table = None if fifo else jnp.concatenate(
         [pos_all, dir_all, pix_all.astype(dtype)[:, None],
          bg_all.astype(dtype)[:, None]], axis=1)
+
+    def launch_state_for(pid, u1, u2):
+        """Arithmetic launch state for ray ids ``pid`` with fresh
+        stratified jitter (statistically equivalent to the pool rays whose
+        launch-time sun view was credited in the batched pre-pass)."""
+        pix = pid % npix
+        lpos, ldir = _camera_rays_for(camera, pix, u1, u2,
+                                      (size_x, size_y, size_z), z_top,
+                                      dtype)
+        lbg = jnp.clip(jnp.searchsorted(zl, lpos[:, 2], side="right") - 1,
+                       0, kbg - 1).astype(jnp.int32)
+        return lpos, ldir, pix, lbg
 
     pix0 = pix_all[:n_lanes]
     state = _BwState(
@@ -529,14 +567,17 @@ def trace_rays_bw(key, camera: Camera,
         transition=jnp.zeros(n_lanes, dtype=bool),
         bg_idx=bg_all[:n_lanes],
         pix=pix0,
-        count=jnp.zeros(n_lanes, jnp.int32),
-        lane_id=jnp.arange(n_lanes, dtype=jnp.int32),
+        count=None if fifo else jnp.zeros(n_lanes, jnp.int32),
+        lane_id=None if fifo else jnp.arange(n_lanes, dtype=jnp.int32),
     )
 
     def body(carry):
-        state, count, key, step = carry
+        state, count, key, step, next_pid = carry
         key, ku, ksun = jax.random.split(key, 3)
-        u = jax.random.uniform(ku, (8, state.alive.shape[0]), dtype)
+        # fifo respawn consumes two extra uniform rows (the respawned
+        # ray's stratified sub-pixel jitter).
+        u = jax.random.uniform(ku, (10 if fifo else 8,
+                                    state.alive.shape[0]), dtype)
         pos, direction, alive = state.pos, state.direction, state.alive
         w = state.weight
 
@@ -759,19 +800,39 @@ def trace_rays_bw(key, camera: Camera,
                             jnp.where(m_tod, 0, state.bg_idx)).astype(jnp.int32)
 
         # ---- respawn: a lane whose ray died launches its next camera ray
-        # from the precomputed pool (its launch-time direct-sun view was
-        # already scored in the batched pre-pass) ----
-        respawn = alive & ~new_alive & (state.count < rpl - 1)
-        new_count = jnp.where(respawn, state.count + 1, state.count)
-        launch = jnp.take(launch_table,
-                          state.lane_id
-                          + jnp.asarray(n_lanes, jnp.int32) * new_count,
-                          axis=0)                       # (N, 8) row gather
-        new_pos = jnp.where(respawn[:, None], launch[:, 0:3], new_pos)
-        new_dir = jnp.where(respawn[:, None], launch[:, 3:6], new_dir)
-        new_pix = jnp.where(respawn, launch[:, 6].astype(jnp.int32),
-                            state.pix)
-        new_bgi = jnp.where(respawn, launch[:, 7].astype(jnp.int32), new_bgi)
+        # (its launch-time direct-sun view was already scored in the
+        # batched pre-pass) ----
+        if fifo:
+            # Global ray queue, as in the forward tracer: dying lanes take
+            # the next queue ids in lane order (scalar counter + exclusive
+            # cumsum rank).  dtype=int32 on the reductions: under x64 a
+            # plain sum/cumsum of int32 promotes to int64 and changes the
+            # while_loop carry dtype.
+            dying = alive & ~new_alive
+            rank = jnp.cumsum(dying, dtype=jnp.int32) - 1
+            respawn = dying & (next_pid + rank < n_photons)
+            pid = jnp.minimum(next_pid + jnp.maximum(rank, 0),
+                              n_photons - 1)
+            new_next = jnp.minimum(
+                next_pid + jnp.sum(dying, dtype=jnp.int32),
+                jnp.int32(n_photons))
+            new_count = None
+            lpos, ldir, lpix, lbg = launch_state_for(pid, u[8], u[9])
+        else:
+            respawn = alive & ~new_alive & (state.count < rpl - 1)
+            new_count = jnp.where(respawn, state.count + 1, state.count)
+            new_next = next_pid
+            launch = jnp.take(launch_table,
+                              state.lane_id
+                              + jnp.asarray(n_lanes, jnp.int32) * new_count,
+                              axis=0)                   # (N, 8) row gather
+            lpos, ldir = launch[:, 0:3], launch[:, 3:6]
+            lpix = launch[:, 6].astype(jnp.int32)
+            lbg = launch[:, 7].astype(jnp.int32)
+        new_pos = jnp.where(respawn[:, None], lpos, new_pos)
+        new_dir = jnp.where(respawn[:, None], ldir, new_dir)
+        new_pix = jnp.where(respawn, lpix, state.pix)
+        new_bgi = jnp.where(respawn, lbg, new_bgi)
         new_w = jnp.where(respawn, 1.0, new_w)
         new_direct = new_direct | respawn
         new_alive = new_alive | respawn
@@ -784,7 +845,7 @@ def trace_rays_bw(key, camera: Camera,
             d_max=new_dmax, k_null=k_null, transition=new_trans,
             bg_idx=new_bgi, pix=new_pix, count=new_count,
             lane_id=state.lane_id)
-        return new_state, count, key, step + 1
+        return new_state, count, key, step + 1, new_next
 
     # Staged width compaction, as in the forward tracer
     # (models/raytracer.py): each phase runs a fixed-width while_loop
@@ -801,19 +862,22 @@ def trace_rays_bw(key, camera: Camera,
             widths.append(max(floor, widths[-1] // 4))
 
     step = jnp.zeros((), jnp.int32)
+    # fifo: the first n_lanes ray ids seed the lanes; the queue hands out
+    # the rest.  (pool mode carries the scalar unused.)
+    next_pid = jnp.int32(n_lanes)
     for phase, width in enumerate(widths):
         is_last = phase == len(widths) - 1
 
         def cond(carry, _last=is_last, _w=width):
-            state, count, key, step = carry
+            state, count, key, step, next_pid = carry
             go = jnp.logical_and(jnp.any(state.alive), step < max_steps)
             if not _last:
                 go = jnp.logical_and(
                     go, jnp.sum(state.alive.astype(jnp.int32)) > _w // 4)
             return go
 
-        state, camera_count, key, step = jax.lax.while_loop(
-            cond, body, (state, camera_count, key, step))
+        state, camera_count, key, step, next_pid = jax.lax.while_loop(
+            cond, body, (state, camera_count, key, step, next_pid))
         if not is_last:
             nxt = widths[phase + 1]
             order = jnp.argsort(jnp.logical_not(state.alive))[:nxt]

@@ -98,9 +98,9 @@ def _key(name: str, static_key: Any) -> str:
                       default=str)
 
 
-def best_kernel_opts() -> Optional[dict]:
-    """The persisted autotune winner's kernel knobs for this device kind
-    (any workload shape; shapes agree on the winner in practice) — lets
+def best_workload_opts(workload: str) -> Optional[dict]:
+    """The persisted autotune winner's knobs for ``workload`` on this
+    device kind (any shape; shapes agree on the winner in practice) — lets
     cold environments start at the tuned point (the analog of the
     reference loading ``rte_rrtmgp_kernel_tuning.txt``)."""
     _load_disk()
@@ -112,13 +112,19 @@ def best_kernel_opts() -> Optional[dict]:
                 name, _, dev = json.loads(key)
             except (ValueError, TypeError):
                 continue
-            if name != "radiation_step" or dev != kind:
+            if name != workload or dev != kind:
                 continue
             if not isinstance(entry, dict) or "config" not in entry:
                 continue
             if best is None or entry.get("ms", 1e30) < best.get("ms", 1e30):
                 best = entry
     return None if best is None else dict(best["config"])
+
+
+def best_kernel_opts() -> Optional[dict]:
+    """Persisted winner for the headline radiation step (see
+    :func:`best_workload_opts`)."""
+    return best_workload_opts("radiation_step")
 
 
 def measure(fn: Callable, args: Sequence, iters: int = 8,

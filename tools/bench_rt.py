@@ -53,36 +53,24 @@ def make_fields(nz, ny, nx, seed=0):
     return k_ext, k_sca_gas, k_sca_cld, zeros, asy_cld, zeros
 
 
-def main():
-    from rte_rrtmgp_tpu import config as _cfg
-    _cfg.respect_platform_env()
-    _cfg.enable_compilation_cache()
+def measure_mc(nx=64, nz=256, ppp=32, ngpt=1, kn=(4, 4, 4), mode="scan",
+               compact=True, respawn="fifo", iters=3, reps=3):
+    """Measure the forward MC tracer at the bench workload; returns a
+    result dict.  Shared by the standalone CLI below and the repo-root
+    bench.py (identical traces -> the persistent compilation cache hits
+    across both entry points)."""
     import jax
     import jax.numpy as jnp
 
     from rte_rrtmgp_tpu.models import raytracer as rt
 
-    ny = nx = NX
-    fields = [jnp.asarray(f) for f in make_fields(NZ, ny, nx)]
+    ny = nx
+    fields = [jnp.asarray(f) for f in make_fields(nz, ny, nx)]
     alb = jnp.full((ny, nx), 0.06, jnp.float32)
     sun = jnp.asarray(rt.sun_direction_from_angles(0.64, 0.0), jnp.float32)
     grid_d = (500.0, 100.0, 100.0)
-    # knull grid: default (4,4,4), the round-4 sweep winner (PERF.md) —
-    # the SIMD tracer pays one while iteration per knull-cell crossing,
-    # so coarse beats the reference's rcemip ngrid (48, 48, 32)
-    # (test_rcemip_input_rt.py:171-173) by 4.1x at equal physics.
-    # Override for A/Bs via BENCH_RT_KNULL=z,y,x (tools/ab_rt_knull.py
-    # measures wall AND while-loop iterations per shape).
-    kn_env = os.environ.get("BENCH_RT_KNULL")
-    kn = (tuple(int(v) for v in kn_env.split(",")) if kn_env
-          else (4, 4, 4))
-
-    mode = os.environ.get("BENCH_RT_MODE", "scan")
-    # BENCH_RT_COMPACT=0 disables staged width compaction (A/B knob).
-    compact = os.environ.get("BENCH_RT_COMPACT", "1") != "0"
-    # BENCH_RT_RESPAWN selects the photon-respawn strategy (fifo/arith/pool)
-    # so the default can be A/B'd on hardware before shipping.
-    respawn = os.environ.get("BENCH_RT_RESPAWN", "fifo")
+    NGPT, PPP = ngpt, ppp
+    ITERS = iters
 
     def one_gpt(key, kx, g):
         out = rt.trace_rays(
@@ -137,7 +125,7 @@ def main():
 
     best = float("inf")
     kx0 = fields[0]
-    for rep in range(3):
+    for rep in range(reps):
         kx = kx0
         t0 = time.perf_counter()
         for it in range(ITERS):
@@ -147,16 +135,42 @@ def main():
         best = min(best, (time.perf_counter() - t0) / ITERS)
 
     n_photons = ny * nx * PPP * NGPT
-    print(json.dumps({
-        "metric": f"MC forward tracer photons/s ({NX}x{NX}x{NZ}, "
+    return {
+        "metric": f"MC forward tracer photons/s ({nx}x{nx}x{nz}, "
                   f"{NGPT} gpt, {PPP} ppp, {mode})",
         "value": round(n_photons / best, 1),
         "unit": "photons/s",
         "ms_per_gpt": round(best / NGPT * 1e3, 2),
         "sfc_mean_wm2": round(warm, 3),
         "respawn": respawn,
-        "platform": __import__("jax").devices()[0].platform,
-    }))
+        "knull": list(kn),
+    }
+
+
+def main():
+    from rte_rrtmgp_tpu import config as _cfg
+    _cfg.respect_platform_env()
+    _cfg.enable_compilation_cache()
+    import jax
+
+    # knull grid: default (4,4,4), the round-4 sweep winner (PERF.md) —
+    # the SIMD tracer pays one while iteration per knull-cell crossing,
+    # so coarse beats the reference's rcemip ngrid (48, 48, 32)
+    # (test_rcemip_input_rt.py:171-173) by 4.1x at equal physics.
+    # Override for A/Bs via BENCH_RT_KNULL=z,y,x (tools/ab_rt_knull.py
+    # measures wall AND while-loop iterations per shape).
+    kn_env = os.environ.get("BENCH_RT_KNULL")
+    kn = (tuple(int(v) for v in kn_env.split(",")) if kn_env
+          else (4, 4, 4))
+    res = measure_mc(
+        nx=NX, nz=NZ, ppp=PPP, ngpt=NGPT, kn=kn,
+        mode=os.environ.get("BENCH_RT_MODE", "scan"),
+        # BENCH_RT_COMPACT=0 disables staged width compaction (A/B knob);
+        # BENCH_RT_RESPAWN selects the respawn strategy (fifo/arith/pool).
+        compact=os.environ.get("BENCH_RT_COMPACT", "1") != "0",
+        respawn=os.environ.get("BENCH_RT_RESPAWN", "fifo"))
+    res["platform"] = jax.devices()[0].platform
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":
