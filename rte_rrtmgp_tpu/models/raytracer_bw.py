@@ -130,7 +130,9 @@ def _camera_rays_for(camera: Camera, pix, u1, u2, size, z_top, dtype):
 
     if camera.cam_type == 0:
         mx, my, mz = camera.rotation()
-        zen = i * 0.5 * np.deg2rad(camera.fov)
+        # float(): a NumPy f64 scalar would promote the ray state to f64
+        # under jax_enable_x64 even for f32 inputs.
+        zen = i * float(0.5 * np.deg2rad(camera.fov))
         azi = j * 2.0 * np.pi
         dt = jnp.stack([jnp.cos(zen), jnp.sin(zen) * jnp.cos(azi),
                         jnp.sin(zen) * jnp.sin(azi)], axis=1)
@@ -922,7 +924,9 @@ def accumulate_clouds(camera: Camera, grid_d, grid_cells,
 
     if camera.cam_type == 0:
         mx, my, mz = camera.rotation()
-        zen = i * 0.5 * np.deg2rad(camera.fov)
+        # float(): a NumPy f64 scalar would promote the ray state to f64
+        # under jax_enable_x64 even for f32 inputs.
+        zen = i * float(0.5 * np.deg2rad(camera.fov))
         azi = j * 2.0 * np.pi
         dt = jnp.stack([jnp.cos(zen), jnp.sin(zen) * jnp.cos(azi),
                         jnp.sin(zen) * jnp.sin(azi)], axis=1)

@@ -98,6 +98,34 @@ def test_scattering_atmosphere_brightens_sky():
     assert np.isfinite(np.asarray(c_sky)).all()
 
 
+def test_fifo_respawn_matches_pool_statistically():
+    """The fifo global-ray-queue respawn (forward tracer's measured-fastest
+    mode, applied to the camera loop) must agree with the pool respawn to
+    MC noise: same physics, different ray->lane assignment stream.  The
+    pool is sized (32x32 px, 128 ppp = 131k rays > the 32k lane knee) so
+    respawn actually fires in both modes."""
+    shape = (NZ, NY, NX)
+    k_ext = jnp.full(shape, 3e-4, jnp.float32)
+    ksg = k_ext * 0.9
+    cam = rbw.Camera(cam_type=2, nx=32, ny=32)
+    outs = {}
+    for mode in ("pool", "fifo"):
+        zeros = jnp.zeros(shape, jnp.float32)
+        count, shot = rbw.trace_rays_bw(
+            jax.random.PRNGKey(0), cam, k_ext, ksg, zeros, zeros, zeros,
+            zeros, *_bg(),
+            jnp.full((NY, NX), 0.3, jnp.float32),
+            jnp.ones((NY, NX), jnp.float32),
+            (2, 2, 2), (DZ, DY, DX), jnp.asarray(SUN, jnp.float32), MU0,
+            photons_per_pixel=128, respawn_mode=mode)
+        per = np.asarray(count) / np.maximum(np.asarray(shot), 1)
+        assert np.isfinite(per).all(), mode
+        outs[mode] = per
+    rel = abs(outs["fifo"].mean() - outs["pool"].mean()) \
+        / max(outs["pool"].mean(), 1e-12)
+    assert rel < 0.05, rel
+
+
 def test_camera_models_produce_rays():
     """All three camera types produce unit-norm directions and valid pixels."""
     for cam_type in (0, 1, 2):
