@@ -89,15 +89,46 @@ def _solve_lw_impl(kd: KDist, cloud_lut, p_lay, p_lev, t_lay, t_lev, t_sfc,
     # remains available and tested for single-chunk callers.)
     emis_gpt_full = flux_ops.expand_bands_to_gpt(emis_sfc, kd.gpt2band)
     resolves = None
+    # Layer-major 2D interchange (RTE_RRTMGP_LAYERMAJOR): tau/source
+    # planes stay (N, G) with cell (c, l) at row l*ncol + c from the
+    # interp kernels straight into the layer-grid solvers — no
+    # (ncol, nlay, G) materialization, none of the retiling copies the
+    # round-5 device trace attributed ~4 ms/step to, and depth-blind
+    # solver VMEM (deep grids keep full column blocks).
+    from ..ops.pallas import solver_kernels as _sk
+    lm = (gas_ops.layer_major_enabled() and with_fluxes
+          and not output_bnd_fluxes and not output_optical
+          and gas_ops.merge_minor_enabled()
+          and bool(kd.minor_lower or kd.minor_upper)
+          and _sk.solvers_available(dtype, nlev))
     # Per-cell resolve pack (g-independent, built once): the Pallas passes
     # resolve their per-g weight planes IN-KERNEL on the MXU instead of
     # reading 8 XLA-built (N, G) planes from HBM per pass.
-    cellw = gas_ops.cellw_resolves(kd, interp)
+    cellw = gas_ops.cellw_resolves(kd, interp, order="lm" if lm else "cm")
+    lm = lm and cellw is not None
+    cld_tau_lm = (gas_ops._cells(cld.tau, "lm")
+                  if lm and with_clouds else None)
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
         tau, pfrac = gas_ops.tau_majmin_and_pfrac(
             kdc, interp, p_lay, t_lay, col_gas, resolves, g0, cellw=cellw)
+        if lm:
+            src = gas_ops.planck_source_lm(kdc, t_lay, t_lev, t_sfc,
+                                           sfc_lay=nlay - 1, pfrac_lm=pfrac,
+                                           ncol=ncol)
+            if with_clouds:
+                tau = tau + flux_ops.expand_bands_to_gpt(cld_tau_lm,
+                                                         kdc.gpt2band)
+            emis_gpt = jax.lax.slice_in_dim(emis_gpt_full, g0, g1, axis=1)
+            inc = jnp.zeros((ncol, g1 - g0), dtype)
+            up_bb, dn_bb, _ = rte_lw.lw_solver_noscat_broadband_lm(
+                tau, src.lay_src, src.lev_src, emis_gpt, src.sfc_src,
+                src.sfc_src_jac, inc, ncol=ncol,
+                n_gauss_angles=n_gauss_angles)
+            flux_up = flux_up + up_bb
+            flux_dn = flux_dn + dn_bb
+            continue
         src = gas_ops.planck_source(kdc, interp, t_lay, t_lev, t_sfc,
                                     sfc_lay=nlay - 1, pfrac=pfrac)
         if with_clouds:
@@ -203,7 +234,21 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
     alb_dir_full = flux_ops.expand_bands_to_gpt(sfc_alb_dir, kd.gpt2band)
     alb_dif_full = flux_ops.expand_bands_to_gpt(sfc_alb_dif, kd.gpt2band)
     resolves = None
-    cellw = gas_ops.cellw_resolves(kd, interp)
+    # Layer-major interchange (see the LW impl note).
+    from ..ops.pallas import solver_kernels as _sk
+    lm = (gas_ops.layer_major_enabled() and with_fluxes
+          and not output_bnd_fluxes and not output_optical
+          and gas_ops.merge_minor_enabled()
+          and bool(kd.minor_lower or kd.minor_upper)
+          and _sk.solvers_available(dtype, nlev))
+    cellw = gas_ops.cellw_resolves(kd, interp, order="lm" if lm else "cm")
+    lm = lm and cellw is not None
+    to_lm2 = lambda o: optics_ops.OpticalProps2str(
+        tau=gas_ops._cells(o.tau, "lm"), ssa=gas_ops._cells(o.ssa, "lm"),
+        g=gas_ops._cells(o.g, "lm"))
+    if lm:
+        cld = to_lm2(cld) if with_clouds else cld
+        aer = to_lm2(aer) if with_aerosols else aer
 
     for g0, g1 in _chunks(kd.ngpt, gpt_chunk):
         kdc = kd.slice_gpt(g0, g1)
@@ -219,6 +264,16 @@ def _solve_sw_impl(kd: KDist, cloud_lut, aerosol_lut,
             op = optics_ops.increment_2str_by_2str_bybnd(op, aer, kdc.gpt2band)
 
         toa = (kdc.solar_source[None, :] * tsi_scaling[:, None]).astype(dtype)
+        if lm:
+            alb_dir = jax.lax.slice_in_dim(alb_dir_full, g0, g1, axis=1)
+            alb_dif = jax.lax.slice_in_dim(alb_dif_full, g0, g1, axis=1)
+            up_bb, dn_bb, dir_bb = rte_sw.sw_solver_2stream_broadband_lm(
+                op.tau, op.ssa, op.g, mu0_safe, alb_dir, alb_dif, toa,
+                ncol=ncol)
+            flux_up = flux_up + up_bb
+            flux_dn = flux_dn + dn_bb
+            flux_dir = flux_dir + dir_bb
+            continue
         if output_optical:
             optical["sw_tau"].append(op.tau)
             optical["ssa"].append(op.ssa)

@@ -352,6 +352,36 @@ def _fused_inputs(kd: KDist, interp: Interp, masks, with_colmix: bool):
     return rows, jes, fms, fp, cms
 
 
+def layer_major_enabled() -> bool:
+    """Layer-major 2D interchange (cells ordered l*ncol + c, planes kept
+    (N, G) end-to-end, layer-grid solver kernels): the second-generation
+    TPU data layout — no (ncol, nlay*G) retiling copies, depth-blind
+    solver VMEM.  Env > persisted autotune winner > default off."""
+    import os
+
+    env = os.environ.get("RTE_RRTMGP_LAYERMAJOR")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        from ..utils import tuner
+
+        t = tuner.best_kernel_opts() or {}
+        if t.get("layermajor") is not None:
+            return bool(t["layermajor"])
+    except Exception:
+        pass
+    return False
+
+
+def _cells(x, order: str):
+    """(C, L, ...) -> (N, ...) in the requested cell order: "cm" packs
+    column-major (cell c*L + l, the row order of a plain reshape), "lm"
+    layer-major (cell l*C + c — the layer-grid solvers' operand order)."""
+    if order == "lm":
+        x = jnp.swapaxes(x, 0, 1)
+    return x.reshape((-1,) + x.shape[2:])
+
+
 class CellW:
     """Per-cell resolve pack for the in-kernel weight-resolve Pallas mode
     (``interp_cellw_multi``): built ONCE per solve, g-independent, shared
@@ -361,13 +391,18 @@ class CellW:
       [je0, je1, fm0..3, cm0, cm1] with row = concat(x*tf, x*(1-tf)),
     * ``masks2`` (2F, ngpt) np: stacked flavor masks [m_tropo; m_upper] —
       a per-chunk column slice becomes the kernel's static M2,
-    * ``rows`` (N, 4) int32 slab rows, ``fp`` (N,) pressure fraction.
+    * ``rows`` (N, 4) int32 slab rows, ``fp`` (N,) pressure fraction,
+    * ``order``: the cell ordering ("cm" column-major c*L + l — the plain
+      reshape order; "lm" layer-major l*C + c — the layer-grid solvers'
+      operand order).  Interp passes fed an "lm" pack return flat (N, G)
+      layer-major planes instead of (C, L, G).
     """
 
-    __slots__ = ("V", "masks2", "rows", "fp")
+    __slots__ = ("V", "masks2", "rows", "fp", "order")
 
-    def __init__(self, V, masks2, rows, fp):
+    def __init__(self, V, masks2, rows, fp, order="cm"):
         self.V, self.masks2, self.rows, self.fp = V, masks2, rows, fp
+        self.order = order
 
 
 def cellw_enabled() -> bool:
@@ -388,14 +423,15 @@ def cellw_enabled() -> bool:
     return True
 
 
-def cellw_resolves(kd: KDist, interp: Interp):
+def cellw_resolves(kd: KDist, interp: Interp, order: str = "cm"):
     """Build the :class:`CellW` pack (None when the Pallas path or the
     cellw mode is off).  Replaces the per-chunk (N, G) weight-plane builds
     — the leading XLA-fusion + DMA cost of the step (PERF.md) — with one
     small g-independent tensor resolved in-kernel on the MXU
     (VERDICT r2 item 2; reference analog: the fused interpolation+tau
     kernels of gas_optics_rrtmgp_kernels.cu:317-443 never materialize
-    per-g weight planes either)."""
+    per-g weight planes either).  ``order``: cell ordering (see
+    :class:`CellW`)."""
     dtype = kd.kmajor_rows.dtype
     if not (config.use_pallas() and dtype == jnp.float32
             and cellw_enabled()):
@@ -412,13 +448,14 @@ def cellw_resolves(kd: KDist, interp: Interp):
              fold(interp.jeta0[:, :, F:2 * F].astype(dtype))]
     rows8 += [fold(interp.fminor[:, :, c * F:(c + 1) * F]) for c in range(4)]
     rows8 += [fold(interp.col_mix[:, :, i * F:(i + 1) * F]) for i in range(2)]
-    V = jnp.stack(rows8, axis=2).reshape(N * 8, 2 * F)
+    V = _cells(jnp.stack(rows8, axis=2), order).reshape(N * 8, 2 * F)
 
     masks = _flavor_masks(kd, np.float32)                      # np (2, F, G)
     masks2 = np.concatenate([masks[0], masks[1]], axis=0)      # (2F, G)
-    rows = _slab_rows(kd, interp).reshape(N, 4).astype(jnp.int32)
-    fp = interp.fpress.reshape(N)
-    return CellW(V, masks2, rows, fp)
+    rows = _cells(_slab_rows(kd, interp),
+                  order).reshape(N, 4).astype(jnp.int32)
+    fp = _cells(interp.fpress, order)
+    return CellW(V, masks2, rows, fp, order)
 
 
 def major_resolves(kd: KDist, interp: Interp):
@@ -481,6 +518,8 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0,
                 metas=(((0, 0, 1, 1), True, True, 0, True),
                        ((0, 0, 1, 1), True, False, 0, True)),
                 neta=kd.neta, **_cellw_opts())
+            if cellw.order == "lm":
+                return tau, pfrac
             return tau.reshape(C, L, G), pfrac.reshape(C, L, G)
         if resolves is not None:
             rows, jes, fms, fp, cms = _sliced_resolves(kd, resolves, g0)
@@ -532,6 +571,9 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
         if cellw is not None:
             from .pallas import interp_cellw_multi
 
+            if cellw.order == "lm":
+                rows_ray = _cells(
+                    rows_ray.reshape(C, L, 2), "lm").astype(jnp.int32)
             M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
             tau, kloc = interp_cellw_multi(
                 [kd.kmajor_rows, kd.krayl_rows],
@@ -539,8 +581,11 @@ def tau_major_and_rayleigh(kd: KDist, interp: Interp, col_gas, col_dry,
                 metas=(((0, 0, 1, 1), True, True, 0, True),
                        ((0, 1), False, False, 0, True)),
                 neta=kd.neta, **_cellw_opts())
-            fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
-            return tau.reshape(C, L, G), kloc.reshape(C, L, G) * fac
+            fac_cl = col_gas[:, :, kd.idx_h2o] + col_dry
+            if cellw.order == "lm":
+                return tau, kloc * _cells(fac_cl, "lm")[:, None]
+            return (tau.reshape(C, L, G),
+                    kloc.reshape(C, L, G) * fac_cl[:, :, None])
         if resolves is not None:
             rows, jes, fms, fp, cms = _sliced_resolves(kd, resolves, g0)
         else:
@@ -576,7 +621,8 @@ def _spec_scaling(kd, spec, maskf, play, tlay, col_gas):
     return scaling * maskf
 
 
-def _minor_prep(kd: KDist, interp: Interp, play, tlay, col_gas):
+def _minor_prep(kd: KDist, interp: Interp, play, tlay, col_gas,
+                order: str = "cm"):
     """Assemble the Pallas minor-pass inputs across both atmospheres and
     all intervals: the kernel's "g" axis is the concatenated contributor
     axis; je / weights / scaling broadcast per interval (contributors of
@@ -620,8 +666,8 @@ def _minor_prep(kd: KDist, interp: Interp, play, tlay, col_gas):
         Ms[k_s, off:off + ng] = 1.0
         off += ng
     it = np.arange(2, dtype=np.int32)[None, None, :]
-    rows = (interp.jtemp0[:, :, None] + it).reshape(N, 2).astype(jnp.int32)
-    sc = jnp.stack(scal_cols, axis=2).reshape(N, len(ordered))
+    rows = _cells(interp.jtemp0[:, :, None] + it, order).astype(jnp.int32)
+    sc = _cells(jnp.stack(scal_cols, axis=2), order)
     return tbl, rows, Mf, Ms, sc, ordered, CT
 
 
@@ -634,8 +680,11 @@ def _minor_stitch(tau, upd_all, ordered):
     Greedy first-fit in spec order keeps the per-g-point addition order
     identical to the sequential reference loop (lower and upper
     atmospheres are disjoint per cell, so merging their layers is
-    exact)."""
-    C, L, G = tau.shape
+    exact).  Shape-agnostic over the leading axes: tau (..., G),
+    upd_all (..., CT) — serves both the (C, L, G) and the flat (N, G)
+    layer-major interchange."""
+    lead, G = tau.shape[:-1], tau.shape[-1]
+    ax = tau.ndim - 1
     dtype = tau.dtype
     layers = []  # list of list[(g0, g1, upd)]
 
@@ -650,7 +699,7 @@ def _minor_stitch(tau, upd_all, ordered):
     off = 0
     for spec in ordered:
         ng = spec.gpt_end - spec.gpt_start
-        place(spec, jax.lax.slice_in_dim(upd_all, off, off + ng, axis=2))
+        place(spec, jax.lax.slice_in_dim(upd_all, off, off + ng, axis=ax))
         off += ng
 
     for layer in layers:
@@ -658,13 +707,13 @@ def _minor_stitch(tau, upd_all, ordered):
         at = 0
         for g0, g1, upd in sorted(layer, key=lambda t: t[0]):
             if g0 > at:
-                pieces.append(jnp.zeros((C, L, g0 - at), dtype))
+                pieces.append(jnp.zeros(lead + (g0 - at,), dtype))
             pieces.append(upd)
             at = g1
         if at < G:
-            pieces.append(jnp.zeros((C, L, G - at), dtype))
+            pieces.append(jnp.zeros(lead + (G - at,), dtype))
         plane = pieces[0] if len(pieces) == 1 else jnp.concatenate(
-            pieces, axis=2)
+            pieces, axis=ax)
         tau = tau + plane
     return tau
 
@@ -794,9 +843,11 @@ def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
     two-pass form (fused major+pfrac, then minor) when the merge or the
     cellw pack is unavailable.  Returns (tau_with_minor, pfrac)."""
     dtype = kd.kmajor_rows.dtype
+    flat = cellw is not None and cellw.order == "lm"
     if (cellw is not None and merge_minor_enabled()
             and config.use_pallas() and dtype == jnp.float32):
-        prep = _minor_prep(kd, interp, play, tlay, col_gas)
+        prep = _minor_prep(kd, interp, play, tlay, col_gas,
+                           order=cellw.order)
         if prep is not None:
             from .pallas import interp_cellw_multi
 
@@ -814,9 +865,21 @@ def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
                        ((0, 1), False, False, 1, True)),
                 neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
                 sc_ops=(2,), **_cellw_opts())
+            if flat:
+                # Layer-major interchange: stay (N, G) — the stitch is a
+                # lane op and the layer-grid solvers consume (N, G)
+                # directly (no (C, L, G) materialization, no retiling).
+                return _minor_stitch(tau, upd, ordered), pfrac
             tau = _minor_stitch(tau.reshape(C, L, G),
                                 upd.reshape(C, L, CT), ordered)
             return tau, pfrac.reshape(C, L, G)
+        if flat:
+            # Chunk with no minor intervals: the fused major+planck pass
+            # alone (flat-aware) is exact.
+            return tau_major_and_pfrac(kd, interp, resolves, g0,
+                                       cellw=cellw)
+    assert not flat, "layer-major interchange requires the merged " \
+        "cellw Pallas path (merge_minor + cellw on)"
     tau, pfrac = tau_major_and_pfrac(kd, interp, resolves, g0, cellw=cellw)
     tau = tau_minor(kd, interp, play, tlay, col_gas, tau, cellw=cellw)
     return tau, pfrac
@@ -828,9 +891,11 @@ def tau_majmin_and_rayleigh(kd: KDist, interp: Interp, play, tlay, col_gas,
     :func:`tau_majmin_and_pfrac`).  Returns (tau_abs_with_minor,
     tau_rayleigh)."""
     dtype = kd.kmajor_rows.dtype
+    flat = cellw is not None and cellw.order == "lm"
     if (cellw is not None and merge_minor_enabled()
             and config.use_pallas() and dtype == jnp.float32):
-        prep = _minor_prep(kd, interp, play, tlay, col_gas)
+        prep = _minor_prep(kd, interp, play, tlay, col_gas,
+                           order=cellw.order)
         if prep is not None:
             from .pallas import interp_cellw_multi
 
@@ -839,8 +904,9 @@ def tau_majmin_and_rayleigh(kd: KDist, interp: Interp, play, tlay, col_gas,
             G = kd.kmajor_rows.shape[2]
             ntemp = kd.ntemp
             it = np.arange(2, dtype=np.int32)[None, None, :]
-            rows_ray = ((interp.itropo01 * ntemp + interp.jtemp0)[:, :, None]
-                        + it).reshape(C * L, 2).astype(jnp.int32)
+            rows_ray = _cells(
+                (interp.itropo01 * ntemp + interp.jtemp0)[:, :, None] + it,
+                cellw.order).astype(jnp.int32)
             M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
             M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
             tau, kloc, upd = interp_cellw_multi(
@@ -852,10 +918,19 @@ def tau_majmin_and_rayleigh(kd: KDist, interp: Interp, play, tlay, col_gas,
                        ((0, 1), False, False, 1, True)),
                 neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
                 sc_ops=(2,), **_cellw_opts())
+            fac_cl = col_gas[:, :, kd.idx_h2o] + col_dry       # (C, L)
+            if flat:
+                tau = _minor_stitch(tau, upd, ordered)
+                return tau, kloc * _cells(fac_cl, "lm")[:, None]
             tau = _minor_stitch(tau.reshape(C, L, G),
                                 upd.reshape(C, L, CT), ordered)
-            fac = (col_gas[:, :, kd.idx_h2o] + col_dry)[:, :, None]
-            return tau, kloc.reshape(C, L, G) * fac
+            return tau, kloc.reshape(C, L, G) * fac_cl[:, :, None]
+        if flat:
+            # Chunk with no minor intervals: fused major+krayl alone.
+            return tau_major_and_rayleigh(kd, interp, col_gas, col_dry,
+                                          resolves, g0, cellw=cellw)
+    assert not flat, "layer-major interchange requires the merged " \
+        "cellw Pallas path (merge_minor + cellw on)"
     tau, ray = tau_major_and_rayleigh(kd, interp, col_gas, col_dry,
                                       resolves, g0, cellw=cellw)
     tau = tau_minor(kd, interp, play, tlay, col_gas, tau, cellw=cellw)
@@ -975,6 +1050,40 @@ def planck_source(kd: KDist, interp: Interp, tlay, tlev, tsfc,
     bsfc2 = _interp1d_planck(tsfc + config.DELTA_TSURF, kd)
     sfc_src = pfrac[:, sfc_lay] * bsfc
     sfc_src_jac = pfrac[:, sfc_lay] * (bsfc2 - bsfc)
+    return SourceFuncLW(sfc_src=sfc_src, sfc_src_jac=sfc_src_jac,
+                        lay_src=lay_src, lev_src=lev_src)
+
+
+def planck_source_lm(kd: KDist, tlay, tlev, tsfc, sfc_lay: int, pfrac_lm,
+                     ncol: int) -> SourceFuncLW:
+    """:func:`planck_source` on the LAYER-MAJOR interchange: ``pfrac_lm``
+    is (nlay*ncol, G) with cell (c, l) at row l*ncol + c; ``tlay``/``tlev``
+    keep their public (ncol, nlay[+1]) shapes.
+
+    The across-interface geometric mean becomes a ROW-SHIFT by ncol (the
+    vertical neighbor of a layer-major row is ncol rows away), so every
+    output — including the (nlev*ncol, G) ``lev_src`` the layer-grid LW
+    solver consumes directly — is pure 2D lane/row arithmetic with no
+    (C, L, G) materialization."""
+    C = ncol
+    nlay = tlay.shape[1]
+    lay_src = pfrac_lm * _interp1d_planck(_cells(tlay, "lm"), kd)
+
+    blev = _interp1d_planck(_cells(tlev, "lm"), kd)    # ((nlay+1)*C, G)
+    lev_inner = jnp.sqrt(pfrac_lm[C:] * pfrac_lm[:-C]) \
+        * blev[C:nlay * C]
+    lev_src = jnp.concatenate([
+        pfrac_lm[:C] * blev[:C],
+        lev_inner,
+        pfrac_lm[(nlay - 1) * C:] * blev[nlay * C:],
+    ], axis=0)
+
+    bsfc = _interp1d_planck(tsfc, kd)                       # (ncol, G)
+    bsfc2 = _interp1d_planck(tsfc + config.DELTA_TSURF, kd)
+    pf_sfc = jax.lax.slice_in_dim(pfrac_lm, sfc_lay * C, (sfc_lay + 1) * C,
+                                  axis=0)
+    sfc_src = pf_sfc * bsfc
+    sfc_src_jac = pf_sfc * (bsfc2 - bsfc)
     return SourceFuncLW(sfc_src=sfc_src, sfc_src_jac=sfc_src_jac,
                         lay_src=lay_src, lev_src=lev_src)
 

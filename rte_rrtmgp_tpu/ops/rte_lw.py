@@ -155,3 +155,24 @@ def lw_solver_noscat_broadband(tau, lay_src, lev_src, sfc_emis, sfc_src,
     up, dn, jac = lw_solver_noscat(tau, lay_src, lev_src, sfc_emis, sfc_src,
                                    sfc_src_jac, inc_flux, n_gauss_angles)
     return up.sum(-1), dn.sum(-1), jac.sum(-1)
+
+
+def lw_solver_noscat_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
+                                  sfc_src_jac, inc_flux, *, ncol: int,
+                                  n_gauss_angles: int = 1):
+    """Broadband LW solve on the LAYER-MAJOR interchange: tau_lm/lay_lm
+    (nlay*ncol, G) with cell (c, l) at row l*ncol + c, lev_lm
+    ((nlay+1)*ncol, G), the rest (ncol, G).  Dispatches to the layer-grid
+    Pallas kernels (ops/pallas/solver_layergrid.py) — no (ncol, nlay*G)
+    retiling, depth-blind VMEM."""
+    from .pallas import solver_layergrid as slg
+
+    fu = fd = fj = 0.0
+    for imu in range(n_gauss_angles):
+        u, d, j = slg.lw_sweep_broadband_lm(
+            tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src, sfc_src_jac,
+            inc_flux, ncol=ncol,
+            D=float(GAUSS_DS[n_gauss_angles - 1, imu]),
+            w=float(GAUSS_WTS[n_gauss_angles - 1, imu]))
+        fu, fd, fj = fu + u, fd + d, fj + j
+    return fu, fd, fj

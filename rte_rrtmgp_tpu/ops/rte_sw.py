@@ -162,3 +162,16 @@ def sw_solver_2stream_broadband(tau, ssa, g, mu0, sfc_alb_dir, sfc_alb_dif,
     up, dn, fdir = sw_solver_2stream(tau, ssa, g, mu0, sfc_alb_dir,
                                      sfc_alb_dif, inc_flux_dir, inc_flux_dif)
     return up.sum(-1), dn.sum(-1), fdir.sum(-1)
+
+
+def sw_solver_2stream_broadband_lm(tau_lm, ssa_lm, g_lm, mu0, sfc_alb_dir,
+                                   sfc_alb_dif, inc_flux_dir,
+                                   inc_flux_dif=None, *, ncol: int):
+    """Broadband SW solve on the LAYER-MAJOR interchange: tau/ssa/g
+    (nlay*ncol, G) with cell (c, l) at row l*ncol + c.  Dispatches to the
+    three-pass layer-grid Pallas kernels (ops/pallas/solver_layergrid.py)."""
+    from .pallas import solver_layergrid as slg
+
+    return slg.sw_2stream_broadband_lm(
+        tau_lm, ssa_lm, g_lm, mu0, sfc_alb_dir, sfc_alb_dif,
+        inc_flux_dir, inc_flux_dif, ncol=ncol)
