@@ -701,6 +701,18 @@ def _trace_impl(key,
         # ---- respawn: a lane whose photon died launches its next photon
         # immediately (reference photons-per-thread loop) — one packed row
         # gather from the precomputed launch pool ----
+        # Static no-respawn fast path: when every photon already has a
+        # lane (quota 1 / queue exhausted at launch), skip the respawn
+        # arithmetic entirely — measured ~6% of the bw step body at
+        # sub-32k pools.  The uniform draw SHAPES are unchanged so the
+        # RNG stream (and the frozen goldens) are identical.
+        if (n_lanes == n_photons) if fifo else (ppl == 1):
+            new_state = _PhotonState(
+                pos=new_pos, direction=new_dir, weight=new_weight,
+                is_direct=new_direct, alive=new_alive, tau=new_tau,
+                d_max=new_dmax, k_null=k_null, transition=new_trans,
+                count=state.count, lane_id=state.lane_id, gid=state.gid)
+            return new_state, counts, key, step + 1, next_pid
         if fifo:
             # Global photon queue: dying lanes take the next queue ids in
             # lane order (scalar counter + exclusive cumsum rank).

@@ -804,6 +804,19 @@ def trace_rays_bw(key, camera: Camera,
         # ---- respawn: a lane whose ray died launches its next camera ray
         # (its launch-time direct-sun view was already scored in the
         # batched pre-pass) ----
+        # Static no-respawn fast path (see models/raytracer.py): at
+        # sub-32k pools the quota is 1 / the queue is exhausted at launch,
+        # so the per-step launch-table gather (pool) or queue arithmetic
+        # (fifo) is dead weight.  Draw shapes unchanged -> RNG stream and
+        # frozen goldens identical.
+        if (n_lanes == n_photons) if fifo else (rpl == 1):
+            new_state = _BwState(
+                pos=new_pos, direction=new_dir, weight=new_w,
+                is_direct=new_direct, alive=new_alive, tau=new_tau,
+                d_max=new_dmax, k_null=k_null, transition=new_trans,
+                bg_idx=new_bgi, pix=state.pix, count=state.count,
+                lane_id=state.lane_id)
+            return new_state, count, key, step + 1, next_pid
         if fifo:
             # Global ray queue, as in the forward tracer: dying lanes take
             # the next queue ids in lane order (scalar counter + exclusive

@@ -66,6 +66,18 @@ def kernel_opts() -> dict:
     )
 
 
+def wsel_enabled() -> bool:
+    """Select-form eta weight build (A/B knob RTE_RRTMGP_PALLAS_WSEL):
+    w = where(e-je == 0, fm0, where(e-je == 1, fm1, 0)) — 5 vector ops per
+    temperature pair instead of the 7-op compare/cast/mad form.  Values
+    are BIT-IDENTICAL (selects of the same fm rows that the one-hot
+    multiply-add produced: fm0*1 + fm1*0 == fm0 exactly)."""
+    import os
+
+    return os.environ.get("RTE_RRTMGP_PALLAS_WSEL", "0") \
+        not in ("0", "false", "off")
+
+
 def _kernel(corner_itemp, has_fp, has_cm, rows_ref, *refs):
     nc = len(corner_itemp)
     k = 0
@@ -369,7 +381,7 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
 CELL_ROWS = 8  # per-cell resolve rows in V: je0, je1, fm0..fm3, cm0, cm1
 
 
-def _kernel_cellw(metas, unroll, n_m2, sc_ops, rows_ref, *refs):
+def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, rows_ref, *refs):
     """Cell-resolve variant: the per-g-point weight planes are computed
     IN-KERNEL from a g-independent per-cell resolve tensor instead of
     arriving as 8 precomputed (N, G) HBM planes.
@@ -428,10 +440,17 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, rows_ref, *refs):
                 res = res_list[mk]
                 je = res[i:i + 1, :]
                 e_iota = iotas[res.shape[1]]
-                sel0 = (e_iota == je).astype(dtype)
-                sel1 = (e_iota == je + 1).astype(dtype)
-                w_cache[(mk, i)] = (res[2 + 2 * i:3 + 2 * i, :] * sel0
-                                    + res[3 + 2 * i:4 + 2 * i, :] * sel1)
+                fm0 = res[2 + 2 * i:3 + 2 * i, :]
+                fm1 = res[3 + 2 * i:4 + 2 * i, :]
+                if wsel:
+                    d = e_iota - je
+                    w = jnp.where(d == 0.0, fm0,
+                                  jnp.where(d == 1.0, fm1, 0.0))
+                else:
+                    sel0 = (e_iota == je).astype(dtype)
+                    sel1 = (e_iota == je + 1).astype(dtype)
+                    w = fm0 * sel0 + fm1 * sel1
+                w_cache[(mk, i)] = w
             return w_cache[(mk, i)]
 
         col = 0
@@ -541,10 +560,10 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, rows_ref, *refs):
 
 
 @functools.partial(jax.jit, static_argnames=("metas", "neta", "block",
-                                             "unroll", "sc_ops"))
+                                             "unroll", "sc_ops", "wsel"))
 def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
                        neta: int, block: int = 256, unroll: int = 4,
-                       sc=None, msc=None, sc_ops=None):
+                       sc=None, msc=None, sc_ops=None, wsel: bool = False):
     """Multi-table interpolation with IN-KERNEL weight-plane resolves.
 
     Same op semantics as :func:`interp_rows_multi`, but instead of 8
@@ -632,7 +651,8 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
     if sc is not None:
         scratch.append(pltpu.VMEM((block, msc.shape[1]), dtype))
     outs = pl.pallas_call(
-        functools.partial(_kernel_cellw, metas, unroll, len(M2s), sc_ops),
+        functools.partial(_kernel_cellw, metas, unroll, len(M2s), sc_ops,
+                          wsel),
         grid=(n_pad // block,),
         in_specs=specs,
         out_specs=[pl.BlockSpec((block, w), lambda ib: (ib, 0),
