@@ -278,13 +278,22 @@ def trace_rays_bw(key, camera: Camera,
 
     knz, kny, knx = kn_grid_shape
     # Decomposition grid: both max and min of k_ext per coarse cell.
-    from .raytracer import coarse_grid_reduce
+    from .raytracer import _small_lookup, coarse_grid_reduce
     kn_max = jnp.maximum(
         coarse_grid_reduce(k_ext, kn_grid_shape, jax.ops.segment_max),
         k_ext_null_min).reshape(-1)
     kn_min = coarse_grid_reduce(k_ext, kn_grid_shape,
                                 jax.ops.segment_min).reshape(-1)
     kn_d = (size_z / knz, size_y / kny, size_x / knx)
+    # Coarse knull grids read via the one-hot contraction instead of a
+    # gather (gathers cost per INDEX on TPU — a 512-entry knull gather
+    # measured ~269 us/iter at 32k lanes; see models/raytracer.py).  The
+    # sun-transmission walk reads the grid EVERY inner sub-step, so this
+    # matters twice over for the camera renderer.
+    kn_small = knz * kny * knx <= 1024
+
+    def _kn_read(table, ijk):
+        return _small_lookup(table, ijk) if kn_small else table[ijk]
 
     sun_direction = jnp.asarray(sun_direction, dtype)
     # Cumulative background optical depth along the sun path
@@ -455,8 +464,8 @@ def trace_rays_bw(key, camera: Camera,
             sz = sz / jnp.maximum(sun_direction[2], eps)
             dmax_new = jnp.minimum(sx, jnp.minimum(sy, sz))
             ijk_n = (k_n * kny + j_n) * knx + i_n
-            kmx_new = kn_max[ijk_n] - kn_min[ijk_n]
-            kmn_new = kn_min[ijk_n]
+            kmn_new = _kn_read(kn_min, ijk_n)
+            kmx_new = _kn_read(kn_max, ijk_n) - kmn_new
             d_max = jnp.where(need, dmax_new, d_max)
             kmx = jnp.where(need, jnp.maximum(kmx_new, eps), kmx)
             kmn = jnp.where(need, kmn_new, kmn)
@@ -644,7 +653,7 @@ def trace_rays_bw(key, camera: Camera,
         d_new = jnp.minimum(sx, jnp.minimum(sy, sz))
         ijk_n = (k_n * kny + j_n) * knx + i_n
         d_max = jnp.where(need_grid, d_new, state.d_max)
-        k_null = jnp.where(need_grid, kn_max[ijk_n], state.k_null)
+        k_null = jnp.where(need_grid, _kn_read(kn_max, ijk_n), state.k_null)
 
         dn = jnp.maximum(eps, tau / k_null)
         crossing = dn >= d_max
