@@ -94,6 +94,17 @@ def main():
         {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 16,
          "cellw": 1},
     ]
+    # Layer-major interchange + layer-grid solvers (round 5) and the
+    # select-form eta weight build — winners persist per shape and are
+    # consulted by gas_optics.layer_major_enabled() / kernel_opts().
+    candidates += [
+        {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+         "cellw": 1, "layermajor": 1},
+        {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+         "cellw": 1, "layermajor": 1, "wsel": 1},
+        {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+         "cellw": 1, "wsel": 1},
+    ]
 
     results = []
     for cand in candidates:
@@ -104,6 +115,8 @@ def main():
         env["RTE_RRTMGP_PALLAS_CELLW"] = str(cand.get("cellw", 1))
         env["RTE_RRTMGP_PALLAS_MERGE_MINOR"] = str(
             cand.get("merge_minor", 1))
+        env["RTE_RRTMGP_LAYERMAJOR"] = str(cand.get("layermajor", 0))
+        env["RTE_RRTMGP_PALLAS_WSEL"] = str(cand.get("wsel", 0))
         env["TUNE_NCOL"], env["TUNE_NLAY"] = str(NCOL), str(NLAY)
         try:
             proc = subprocess.run(
