@@ -65,10 +65,26 @@ def _pick_block(ncol: int, block: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _lw_optics(tau_ref, D, tau_thres):
+    """Per-layer optical prep (trans, fact), shared by both sweeps: the up
+    pass RECOMPUTES it from tau instead of reading staged trans/fact
+    planes — one plane read replaces two writes + two reads of HBM per
+    chunk (FLOPs are cheaper than bandwidth here; the reference's
+    lw_step_1 stages them because its threads keep them in registers
+    across the whole column)."""
+    one = tau_ref.dtype.type(1.0)
+    tl = tau_ref[...] * D
+    trans = jnp.exp(-tl)
+    safe = jnp.where(tl == 0.0, one, tl)
+    fact = jnp.where(tl > tau_thres,
+                     (one - trans) / safe - trans,
+                     tl * (0.5 + tl * (-1.0 / 3.0 + tl * 0.125)))
+    return trans, fact
+
+
 def _lw_down_kernel(nlay, D, w, tau_thres,
                     tau_ref, lay_ref, lev_hi_ref, inc_ref,
-                    trans_ref, fact_ref, dn_body_ref, dn_top_ref,
-                    rad_sfc_ref, rad_s):
+                    dn_body_ref, dn_top_ref, rad_sfc_ref, rad_s):
     l = pl.program_id(1)
     one = tau_ref.dtype.type(1.0)
 
@@ -78,14 +94,7 @@ def _lw_down_kernel(nlay, D, w, tau_thres,
         rad_s[...] = rad0
         dn_top_ref[...] = jnp.sum(rad0, axis=1, keepdims=True)
 
-    tl = tau_ref[...] * D
-    trans = jnp.exp(-tl)
-    safe = jnp.where(tl == 0.0, one, tl)
-    fact = jnp.where(tl > tau_thres,
-                     (one - trans) / safe - trans,
-                     tl * (0.5 + tl * (-1.0 / 3.0 + tl * 0.125)))
-    trans_ref[...] = trans
-    fact_ref[...] = fact
+    trans, fact = _lw_optics(tau_ref, D, tau_thres)
     lev_dn = lev_hi_ref[...]
     src_dn = (one - trans) * lev_dn + 2.0 * fact * (lay_ref[...] - lev_dn)
     rad = trans * rad_s[...] + src_dn
@@ -97,13 +106,13 @@ def _lw_down_kernel(nlay, D, w, tau_thres,
         rad_sfc_ref[...] = rad
 
 
-def _lw_up_kernel(nlay,
-                  trans_ref, fact_ref, lay_ref, lev_lo_ref,
+def _lw_up_kernel(nlay, D, tau_thres,
+                  tau_ref, lay_ref, lev_lo_ref,
                   emis_ref, ssrc_ref, sjac_ref, rad_sfc_ref,
                   up_body_ref, jac_body_ref, up_sfc_ref, jac_sfc_ref,
                   up_s, jac_s):
     t = pl.program_id(1)
-    one = trans_ref.dtype.type(1.0)
+    one = tau_ref.dtype.type(1.0)
 
     @pl.when(t == 0)
     def _():
@@ -115,10 +124,10 @@ def _lw_up_kernel(nlay,
         up_sfc_ref[...] = jnp.sum(up0, axis=1, keepdims=True)
         jac_sfc_ref[...] = jnp.sum(jac0, axis=1, keepdims=True)
 
-    trans = trans_ref[...]
+    trans, fact = _lw_optics(tau_ref, D, tau_thres)
     lev_up = lev_lo_ref[...]
     src_up = (one - trans) * lev_up \
-        + 2.0 * fact_ref[...] * (lay_ref[...] - lev_up)
+        + 2.0 * fact * (lay_ref[...] - lev_up)
     up = trans * up_s[...] + src_up
     jac = trans * jac_s[...]
     up_s[...] = up
@@ -130,7 +139,7 @@ def _lw_up_kernel(nlay,
 @functools.partial(jax.jit, static_argnames=("ncol", "D", "w", "block"))
 def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
                           sfc_src_jac, inc_flux, *, ncol: int, D: float,
-                          w: float, block: int = 512):
+                          w: float, block: int = 1024):
     """LW no-scatter sweep on LAYER-MAJOR planes.
 
     tau_lm/lay_lm: (nlay*ncol, G) with cell (c, l) at row l*ncol + c;
@@ -168,15 +177,13 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
     out_col1 = pl.BlockSpec((B, 1), lambda cb, l: (cb, 0),
                             memory_space=pltpu.VMEM)
 
-    trans, fact, dn_body, dn_top, rad_sfc = pl.pallas_call(
+    dn_body, dn_top, rad_sfc = pl.pallas_call(
         functools.partial(_lw_down_kernel, nlay, dtype.type(D),
                           float(w), dtype.type(config.tau_thres(dtype))),
         grid=(nb, nlay),
         in_specs=[lane(), lane(), lane_hi, col2d],
-        out_specs=[lane(), lane(), out_body, out_col1, col2d],
-        out_shape=[jax.ShapeDtypeStruct((nlay * n, NG), dtype),
-                   jax.ShapeDtypeStruct((nlay * n, NG), dtype),
-                   jax.ShapeDtypeStruct((nlay * n, 1), dtype),
+        out_specs=[out_body, out_col1, col2d],
+        out_shape=[jax.ShapeDtypeStruct((nlay * n, 1), dtype),
                    jax.ShapeDtypeStruct((n, 1), dtype),
                    jax.ShapeDtypeStruct((n, NG), dtype)],
         scratch_shapes=[pltpu.VMEM((B, NG), dtype)],
@@ -189,9 +196,10 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
     rev_out = pl.BlockSpec((B, 1), lambda cb, t: ((nlay - 1 - t) * nb + cb, 0),
                            memory_space=pltpu.VMEM)
     up_body, jac_body, up_sfc, jac_sfc = pl.pallas_call(
-        functools.partial(_lw_up_kernel, nlay),
+        functools.partial(_lw_up_kernel, nlay, dtype.type(D),
+                          dtype.type(config.tau_thres(dtype))),
         grid=(nb, nlay),
-        in_specs=[rev(), rev(), rev(), rev(), col2d, col2d, col2d, col2d],
+        in_specs=[rev(), rev(), rev(), col2d, col2d, col2d, col2d],
         out_specs=[rev_out, rev_out, out_col1, out_col1],
         out_shape=[jax.ShapeDtypeStruct((nlay * n, 1), dtype),
                    jax.ShapeDtypeStruct((nlay * n, 1), dtype),
@@ -199,7 +207,7 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
                    jax.ShapeDtypeStruct((n, 1), dtype)],
         scratch_shapes=[pltpu.VMEM((B, NG), dtype)] * 2,
         compiler_params=_PARAMS,
-    )(trans, fact, lay_lm, lev_lm, sfc_emis, sfc_src, sfc_src_jac, rad_sfc)
+    )(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src, sfc_src_jac, rad_sfc)
 
     scale = dtype.type(np.pi * w)
     # dn body rows hold levels 1..nlay (written on the down sweep), up/jac
