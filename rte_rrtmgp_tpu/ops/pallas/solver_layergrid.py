@@ -361,7 +361,7 @@ def _sw_flux_dn_kernel(nlay,
 @functools.partial(jax.jit, static_argnames=("ncol", "block"))
 def sw_2stream_broadband_lm(tau_lm, ssa_lm, g_lm, mu0, sfc_alb_dir,
                             sfc_alb_dif, inc_flux_dir, inc_flux_dif=None,
-                            *, ncol: int, block: int = 512):
+                            *, ncol: int, block: int = 1024):
     """SW two-stream + adding on LAYER-MAJOR planes.
 
     tau_lm/ssa_lm/g_lm: (nlay*ncol, G), mu0 (ncol,), albedos/inc fluxes
