@@ -83,7 +83,7 @@ def _lw_optics(tau_ref, D, tau_thres):
 
 
 def _lw_down_kernel(nlay, D, w, tau_thres,
-                    tau_ref, lay_ref, lev_hi_ref, inc_ref,
+                    tau_ref, lay_ref, lev_hi_ref, lev_last_ref, inc_ref,
                     dn_body_ref, dn_top_ref, rad_sfc_ref, rad_s):
     l = pl.program_id(1)
     one = tau_ref.dtype.type(1.0)
@@ -95,7 +95,11 @@ def _lw_down_kernel(nlay, D, w, tau_thres,
         dn_top_ref[...] = jnp.sum(rad0, axis=1, keepdims=True)
 
     trans, fact = _lw_optics(tau_ref, D, tau_thres)
-    lev_dn = lev_hi_ref[...]
+    # lev[l+1]: inner rows for l < nlay-1, the surface boundary piece at
+    # the last layer (pieces arrive separately so the caller never
+    # concatenates a full (nlev*ncol, G) plane — a measured 0.64 ms copy
+    # per chunk at the bench shape).
+    lev_dn = jnp.where(l == nlay - 1, lev_last_ref[...], lev_hi_ref[...])
     src_dn = (one - trans) * lev_dn + 2.0 * fact * (lay_ref[...] - lev_dn)
     rad = trans * rad_s[...] + src_dn
     rad_s[...] = rad
@@ -107,7 +111,7 @@ def _lw_down_kernel(nlay, D, w, tau_thres,
 
 
 def _lw_up_kernel(nlay, D, tau_thres,
-                  tau_ref, lay_ref, lev_lo_ref,
+                  tau_ref, lay_ref, lev_lo_ref, lev_first_ref,
                   emis_ref, ssrc_ref, sjac_ref, rad_sfc_ref,
                   up_body_ref, jac_body_ref, up_sfc_ref, jac_sfc_ref,
                   up_s, jac_s):
@@ -125,7 +129,9 @@ def _lw_up_kernel(nlay, D, tau_thres,
         jac_sfc_ref[...] = jnp.sum(jac0, axis=1, keepdims=True)
 
     trans, fact = _lw_optics(tau_ref, D, tau_thres)
-    lev_up = lev_lo_ref[...]
+    # lev[l] with l = nlay-1-t: inner rows for l > 0, the TOA boundary
+    # piece at the top layer.
+    lev_up = jnp.where(t == nlay - 1, lev_first_ref[...], lev_lo_ref[...])
     src_up = (one - trans) * lev_up \
         + 2.0 * fact * (lay_ref[...] - lev_up)
     up = trans * up_s[...] + src_up
@@ -143,12 +149,23 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
     """LW no-scatter sweep on LAYER-MAJOR planes.
 
     tau_lm/lay_lm: (nlay*ncol, G) with cell (c, l) at row l*ncol + c;
-    lev_lm: ((nlay+1)*ncol, G); the rest (ncol, G).  Returns broadband
-    up, dn, jac each (ncol, nlay+1) (top at row 0, matching
-    ``lw_sweep_broadband``)."""
+    lev_lm: ((nlay+1)*ncol, G) — or a TUPLE of pieces
+    (lev0 (ncol, G), lev_inner ((nlay-1)*ncol, G), lev_last (ncol, G)),
+    the natural outputs of ``planck_source_lm``; passing pieces avoids
+    concatenating a full nlev plane (a measured 0.64 ms copy per chunk).
+    The rest (ncol, G).  Returns broadband up, dn, jac each
+    (ncol, nlay+1) (top at row 0, matching ``lw_sweep_broadband``)."""
     NG = tau_lm.shape[1]
     nlay = tau_lm.shape[0] // ncol
     dtype = tau_lm.dtype
+    if not isinstance(lev_lm, (tuple, list)):
+        lev_lm = (jax.lax.slice_in_dim(lev_lm, 0, ncol, axis=0),
+                  jax.lax.slice_in_dim(lev_lm, ncol, nlay * ncol, axis=0),
+                  jax.lax.slice_in_dim(lev_lm, nlay * ncol,
+                                       (nlay + 1) * ncol, axis=0))
+    lev0, lev_inner, lev_last = lev_lm
+    if nlay == 1:
+        lev_inner = lev0   # never selected; placeholder with valid shape
 
     pad = (-ncol) % 8
     # Pad the column axis of every plane (per layer row-block).
@@ -158,8 +175,9 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
                            ((0, 0), (0, pad), (0, 0))).reshape(-1, NG)
         tau_lm = padc(tau_lm, nlay)
         lay_lm = padc(lay_lm, nlay)
-        lev_lm = padc(lev_lm, nlay + 1)
+        lev_inner = padc(lev_inner, max(nlay - 1, 1))
         z2 = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
+        lev0, lev_last = z2(lev0), z2(lev_last)
         sfc_emis, sfc_src = z2(sfc_emis), z2(sfc_src)
         sfc_src_jac, inc_flux = z2(sfc_src_jac), z2(inc_flux)
     n = ncol + pad
@@ -168,8 +186,12 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
 
     lane = lambda: pl.BlockSpec((B, NG), lambda cb, l: (l * nb + cb, 0),
                                 memory_space=pltpu.VMEM)
-    lane_hi = pl.BlockSpec((B, NG), lambda cb, l: ((l + 1) * nb + cb, 0),
-                           memory_space=pltpu.VMEM)
+    # lev[l+1] for the down sweep: inner block l for l < nlay-1 (clamped;
+    # the kernel substitutes the boundary piece at the last layer).
+    inner_hi = pl.BlockSpec(
+        (B, NG),
+        lambda cb, l: (jnp.clip(l, 0, max(nlay - 2, 0)) * nb + cb, 0),
+        memory_space=pltpu.VMEM)
     col2d = pl.BlockSpec((B, NG), lambda cb, l: (cb, 0),
                          memory_space=pltpu.VMEM)
     out_body = pl.BlockSpec((B, 1), lambda cb, l: (l * nb + cb, 0),
@@ -181,17 +203,24 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
         functools.partial(_lw_down_kernel, nlay, dtype.type(D),
                           float(w), dtype.type(config.tau_thres(dtype))),
         grid=(nb, nlay),
-        in_specs=[lane(), lane(), lane_hi, col2d],
+        in_specs=[lane(), lane(), inner_hi, col2d, col2d],
         out_specs=[out_body, out_col1, col2d],
         out_shape=[jax.ShapeDtypeStruct((nlay * n, 1), dtype),
                    jax.ShapeDtypeStruct((n, 1), dtype),
                    jax.ShapeDtypeStruct((n, NG), dtype)],
         scratch_shapes=[pltpu.VMEM((B, NG), dtype)],
         compiler_params=_PARAMS,
-    )(tau_lm, lay_lm, lev_lm, inc_flux)
+    )(tau_lm, lay_lm, lev_inner, lev_last, inc_flux)
 
     rev = lambda: pl.BlockSpec(
         (B, NG), lambda cb, t: ((nlay - 1 - t) * nb + cb, 0),
+        memory_space=pltpu.VMEM)
+    # lev[l] with l = nlay-1-t for the up sweep: inner block l-1 for
+    # l > 0 (clamped; the kernel substitutes the TOA piece at the top).
+    inner_lo = pl.BlockSpec(
+        (B, NG),
+        lambda cb, t: (jnp.clip(nlay - 2 - t, 0, max(nlay - 2, 0)) * nb
+                       + cb, 0),
         memory_space=pltpu.VMEM)
     rev_out = pl.BlockSpec((B, 1), lambda cb, t: ((nlay - 1 - t) * nb + cb, 0),
                            memory_space=pltpu.VMEM)
@@ -199,7 +228,8 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
         functools.partial(_lw_up_kernel, nlay, dtype.type(D),
                           dtype.type(config.tau_thres(dtype))),
         grid=(nb, nlay),
-        in_specs=[rev(), rev(), rev(), col2d, col2d, col2d, col2d],
+        in_specs=[rev(), rev(), inner_lo, col2d, col2d, col2d, col2d,
+                  col2d],
         out_specs=[rev_out, rev_out, out_col1, out_col1],
         out_shape=[jax.ShapeDtypeStruct((nlay * n, 1), dtype),
                    jax.ShapeDtypeStruct((nlay * n, 1), dtype),
@@ -207,7 +237,8 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
                    jax.ShapeDtypeStruct((n, 1), dtype)],
         scratch_shapes=[pltpu.VMEM((B, NG), dtype)] * 2,
         compiler_params=_PARAMS,
-    )(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src, sfc_src_jac, rad_sfc)
+    )(tau_lm, lay_lm, lev_inner, lev0, sfc_emis, sfc_src, sfc_src_jac,
+      rad_sfc)
 
     scale = dtype.type(np.pi * w)
     # dn body rows hold levels 1..nlay (written on the down sweep), up/jac
