@@ -72,6 +72,21 @@ def main():
     _cfg.enable_compilation_cache()
     from rte_rrtmgp_tpu.utils import tuner
 
+    if os.environ.get("TUNE_QUICK"):
+        # Reduced sweep for shapes whose per-candidate compile runs tens
+        # of minutes (the 4096x256 RCEMIP shape): current default winner,
+        # the wsel variant, and the layer-major interchange (whose
+        # depth-blind solvers are designed for exactly these shapes).
+        candidates = [
+            {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+             "cellw": 1},
+            {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+             "cellw": 1, "wsel": 1},
+            {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+             "cellw": 1, "layermajor": 1},
+        ]
+        return _run_and_persist(candidates, tuner)
+
     candidates = [{"gpt_chunk": 128, "pallas": 0, "block": 0, "unroll": 0},
                   {"gpt_chunk": 64, "pallas": 1, "block": 256, "unroll": 4,
                    "cellw": 1}]
@@ -106,6 +121,10 @@ def main():
          "cellw": 1, "wsel": 1},
     ]
 
+    return _run_and_persist(candidates, tuner)
+
+
+def _run_and_persist(candidates, tuner):
     results = []
     for cand in candidates:
         env = dict(os.environ)
@@ -122,7 +141,8 @@ def main():
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
                  json.dumps(cand)],
-                env=env, capture_output=True, text=True, timeout=1500,
+                env=env, capture_output=True, text=True,
+                timeout=int(os.environ.get("TUNE_TIMEOUT", "1500")),
                 cwd=_REPO)
         except subprocess.TimeoutExpired:
             print(f"{cand}: FAILED (timeout)", flush=True)
