@@ -71,10 +71,12 @@ def wsel_enabled() -> bool:
     w = where(e-je == 0, fm0, where(e-je == 1, fm1, 0)) — 5 vector ops per
     temperature pair instead of the 7-op compare/cast/mad form.  Values
     are BIT-IDENTICAL (selects of the same fm rows that the one-hot
-    multiply-add produced: fm0*1 + fm1*0 == fm0 exactly)."""
+    multiply-add produced: fm0*1 + fm1*0 == fm0 exactly).  Default ON:
+    measured 35.54 vs 37.29 ms/step on the v5e headline bench (PERF.md
+    round 5)."""
     import os
 
-    return os.environ.get("RTE_RRTMGP_PALLAS_WSEL", "0") \
+    return os.environ.get("RTE_RRTMGP_PALLAS_WSEL", "1") \
         not in ("0", "false", "off")
 
 
