@@ -48,11 +48,11 @@ R1_BASELINE_OLD_METHOD_COLGPT_PER_S = 8.19e6  # block_until_ready (invalid)
 # backend failure is a reporting bug, not a measurement (VERDICT r3 item 8).
 # Update alongside PERF.md whenever the headline bench is re-measured.
 LAST_MEASURED = {
-    "colgpt_per_s": 2.642e7, "ms_per_step": 37.21, "vs_baseline": 633.6,
+    "colgpt_per_s": 2.766e7, "ms_per_step": 35.54, "vs_baseline": 663.3,
     "mc_photons_per_s": 102838, "date": "2026-08-20",
-    "note": "headline step: BENCH_r04.json; MC: round-5 fifo-respawn "
-            "measurement at the 64x64x256 flagship domain, knull (4,4,4) "
-            "(see PERF.md round 5)",
+    "note": "round-5 measurements: headline step with select-form eta "
+            "weights (wsel); MC fifo respawn at the 64x64x256 flagship "
+            "domain, knull (4,4,4) (see PERF.md round 5)",
 }
 
 
