@@ -290,7 +290,11 @@ def _solve_rt_impl(kd: KDist, cloud_lut, aerosol_lut, key,
             key_g, k[0], k[1], k[2], k[3], k[4], k[5], rel3d, alb_band,
             kn_grid, grid_d, tod_dir, jnp.zeros((), dtype), sun_dir,
             photons_per_pixel=photons_per_pixel,
-            independent_column=independent_column, **mie_kw)
+            independent_column=independent_column,
+            # "auto": env > the persisted tune_rt.py winner > "fifo" —
+            # the driver starts at the tuned point like the reference
+            # loading rte_rrtmgp_kernel_tuning.txt (include/tuner.h:27-37).
+            respawn_mode="auto", **mie_kw)
 
         flat = (out.flux_toa_down, out.flux_tod_up, out.flux_sfc_dir,
                 out.flux_sfc_dif, out.flux_sfc_up, out.flux_abs_dir,
