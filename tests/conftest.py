@@ -10,6 +10,17 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+import tempfile
+
+# Isolate the persistent compilation cache per test run: CLI tests call
+# config.enable_compilation_cache() in-process, and sharing the user-wide
+# cache dir with concurrently running benches/tuners produced a segfault
+# inside JAX's cache write (put_executable_and_time) during full-suite
+# runs.  A throwaway dir keeps CLI behavior while removing cross-process
+# writes to shared entries.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
+    prefix="rte_test_jaxcache_")
+
 import jax  # noqa: E402
 
 # sitecustomize.py imports jax at interpreter startup with
