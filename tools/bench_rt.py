@@ -21,10 +21,19 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-NX = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-NZ = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-PPP = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-NGPT = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+def _argv_int(i, default):
+    """argv parsing safe under IMPORT by other tools (tune_rt.py imports
+    make_fields/measure_mc while holding its own argv)."""
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+NX = _argv_int(1, 64)
+NZ = _argv_int(2, 64)
+PPP = _argv_int(3, 32)
+NGPT = _argv_int(4, 2)
 ITERS = 3
 
 
