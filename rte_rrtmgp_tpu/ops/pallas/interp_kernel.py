@@ -40,6 +40,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 ETA_STRIDE = 16
 
+# The resident-table calls run within ~2% of Mosaic's default 16 MB
+# scoped-VMEM check at production shapes (measured: 16.50M at 2048x72,
+# gpt_chunk 128) — small build variations (layer-major operand layouts,
+# block 512) tip them over.  Raise the cap; the chip has 128 MB VMEM and
+# the block sizing targets stay well below this.
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20)
+
 
 def kernel_opts() -> dict:
     """Tunable kernel knobs, read at trace time: environment first (the
@@ -661,6 +668,7 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
                                 memory_space=pltpu.VMEM) for w in out_ws],
         out_shape=[jax.ShapeDtypeStruct((n_pad, w), dtype) for w in out_ws],
         scratch_shapes=scratch,
+        compiler_params=_PARAMS,
     )(*operands)
     return [o[:N] if pad else o for o in outs]
 
@@ -772,6 +780,7 @@ def _interp_rows_multi(tables, rows_list, jes, fms, fps, cms_list, *,
         out_shape=[jax.ShapeDtypeStruct((n_pad, w), dtype) for w in out_w],
         scratch_shapes=([pltpu.VMEM((8 * ETA_STRIDE, G), dtype)] * 2
                         if vec else []),
+        compiler_params=_PARAMS,
     )(*operands)
     return [o[:N] if pad else o for o in outs]
 
@@ -847,5 +856,6 @@ def interp_rows_pallas(table, rows, jes, fms, *, fp=None, cms=None,
         in_specs=specs,
         out_specs=plane,
         out_shape=jax.ShapeDtypeStruct((n_pad, G), table.dtype),
+        compiler_params=_PARAMS,
     )(*operands)
     return out[:N] if pad else out
