@@ -18,6 +18,17 @@ are ever used):
    dispatch duration and grow ONCE — preferring a width that divides the
    remaining count so no third program is needed,
 3. run the rest at the grown width.
+
+Known limitation (root-caused round 5, PERF.md): the drivers'
+``--spectral-mode lanes`` vmap-merges a whole spectral window into ONE
+photon loop per dispatch; at wide windows (8 g-points, 64x64x256) that
+single program reproducibly crashes the TPU worker ("kernel fault"),
+with or without windowing — the window bounds the NUMBER of merged steps
+per dispatch but a lanes dispatch is itself one monolithic loop.  The
+default per-g-point scan under these windows never builds such a
+dispatch and is stable (measured through the full tuning sweeps); lanes
+is perf-refuted anyway (PERF.md round 3) and remains available only for
+narrow windows.
 """
 
 from __future__ import annotations
