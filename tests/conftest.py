@@ -10,17 +10,6 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-import tempfile
-
-# Isolate the persistent compilation cache per test run: CLI tests call
-# config.enable_compilation_cache() in-process, and sharing the user-wide
-# cache dir with concurrently running benches/tuners produced a segfault
-# inside JAX's cache write (put_executable_and_time) during full-suite
-# runs.  A throwaway dir keeps CLI behavior while removing cross-process
-# writes to shared entries.
-os.environ["JAX_COMPILATION_CACHE_DIR"] = tempfile.mkdtemp(
-    prefix="rte_test_jaxcache_")
-
 import jax  # noqa: E402
 
 # sitecustomize.py imports jax at interpreter startup with
@@ -28,6 +17,14 @@ import jax  # noqa: E402
 # too late for this process — override the config directly as well.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Disable the persistent compilation cache for the whole test process:
+# once a CLI test calls config.enable_compilation_cache() in-process,
+# later compiles write the cache, and serializing one of the suite's
+# executables segfaults inside JAX's put_executable_and_time (reproduced
+# with an isolated throwaway cache dir, so it is the serialization
+# itself, not cross-process contention).  Tests recompile in ~seconds on
+# CPU; nothing is lost.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import sys  # noqa: E402
 
