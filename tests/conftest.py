@@ -29,3 +29,19 @@ jax.config.update("jax_enable_compilation_cache", False)
 import sys  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full suite compiles hundreds of programs; with them all held
+    live, the CPU XLA compile of the largest Monte-Carlo while_loops
+    (~150 tests in) segfaults inside backend_compile_and_load —
+    reproducibly at the same suite position, never standalone.  Dropping
+    the executable caches between modules keeps the process footprint
+    flat; modules recompile their own programs in seconds on CPU."""
+    yield
+    jax.clear_caches()
