@@ -84,3 +84,38 @@ def test_disable_env(isolated_cache, monkeypatch):
         "disabled", [{"first": True}, {"first": False}],
         lambda c: (_ for _ in ()).throw(AssertionError), (np.zeros(1),))
     assert best == {"first": True}
+
+
+def test_checked_in_winners_resolve_per_workload(isolated_cache, monkeypatch):
+    """The committed tuning/tuned_defaults.json winners must resolve
+    through best_workload_opts for their device kind — this is the wiring
+    that makes cold environments start at the tuned point (kernel_opts,
+    raytracer respawn 'auto', bw_render 'auto')."""
+    monkeypatch.setattr(tuner, "_device_kind", lambda: "tpu:TPU v5 lite")
+    step = tuner.best_workload_opts("radiation_step")
+    assert step is not None and step.get("pallas") == 1
+    rt = tuner.best_workload_opts("rt_trace")
+    assert rt is not None and rt.get("respawn_mode") in ("fifo", "arith",
+                                                         "pool")
+    bw = tuner.best_workload_opts("bw_render")
+    assert bw is not None and bw.get("respawn_mode") in ("fifo", "pool")
+    # Unknown workloads and foreign device kinds resolve to None (the
+    # callers' fixed defaults then apply — CPU test determinism).
+    assert tuner.best_workload_opts("nonexistent_workload") is None
+    monkeypatch.setattr(tuner, "_device_kind", lambda: "cpu:host")
+    assert tuner.best_workload_opts("rt_trace") is None
+
+
+def test_respawn_auto_resolution(isolated_cache, monkeypatch):
+    """trace_rays' 'auto' respawn: env > tuner winner > 'fifo'."""
+    from rte_rrtmgp_tpu.models.raytracer import _resolve_respawn_mode
+
+    assert _resolve_respawn_mode("arith") == "arith"   # explicit wins
+    monkeypatch.setenv("RTE_RRTMGP_RT_RESPAWN", "pool")
+    assert _resolve_respawn_mode("auto") == "pool"     # env beats tuner
+    monkeypatch.delenv("RTE_RRTMGP_RT_RESPAWN")
+    monkeypatch.setattr(tuner, "_device_kind", lambda: "tpu:TPU v5 lite")
+    assert _resolve_respawn_mode("auto") == \
+        tuner.best_workload_opts("rt_trace")["respawn_mode"]
+    monkeypatch.setattr(tuner, "_device_kind", lambda: "cpu:host")
+    assert _resolve_respawn_mode("auto") == "fifo"     # fixed default
