@@ -483,10 +483,11 @@ def _sliced_resolves(kd_chunk, resolves, g0):
 
 def _cellw_opts():
     from .pallas import kernel_opts
-    from .pallas.interp_kernel import wsel_enabled
+    from .pallas.interp_kernel import pairc_enabled, wsel_enabled
 
     o = kernel_opts()
-    return dict(block=o["block"], unroll=o["unroll"], wsel=wsel_enabled())
+    return dict(block=o["block"], unroll=o["unroll"], wsel=wsel_enabled(),
+                paired=pairc_enabled())
 
 
 def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0,

@@ -87,6 +87,32 @@ def wsel_enabled() -> bool:
         not in ("0", "false", "off")
 
 
+def pairc_enabled() -> bool:
+    """Half-slab paired table layout for the cellw kernels (A/B knob
+    RTE_RRTMGP_PALLAS_PAIRC): the eta contraction runs on (8, G)
+    half-slabs — fm0*slab[:8] + fm1*slab[8:] selected by one 8-row
+    one-hot — instead of a 16-row weight plane, with the slice count
+    unchanged (unlike the refuted plane-path 'paired' mode).  Agrees
+    with the plain layout to <= ~1 ulp (the two-term combine contracts
+    to an FMA — see _kernel_cellw).  Env > persisted autotune winner >
+    default ON: measured 36.81 vs 39.85 ms/step at 2048x72 and 277.51 vs
+    289.48 at 4096x256 on the v5e (PERF.md round 5)."""
+    import os
+
+    env = os.environ.get("RTE_RRTMGP_PALLAS_PAIRC")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        from ...utils import tuner
+
+        t = tuner.best_kernel_opts() or {}
+        if t.get("pairc") is not None:
+            return bool(t["pairc"])
+    except Exception:
+        pass
+    return True
+
+
 def _kernel(corner_itemp, has_fp, has_cm, rows_ref, *refs):
     nc = len(corner_itemp)
     k = 0
@@ -390,7 +416,8 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
 CELL_ROWS = 8  # per-cell resolve rows in V: je0, je1, fm0..fm3, cm0, cm1
 
 
-def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, rows_ref, *refs):
+def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
+                  *refs):
     """Cell-resolve variant: the per-g-point weight planes are computed
     IN-KERNEL from a g-independent per-cell resolve tensor instead of
     arriving as 8 precomputed (N, G) HBM planes.
@@ -411,7 +438,20 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, rows_ref, *refs):
     placement mask.  Ops in ``sc_ops`` get a per-cell scaling vector (S,)
     expanded through a second static placement matrix (S, G) multiplied
     into their output — the minor pass's per-interval scaling, folded
-    in-kernel."""
+    in-kernel.
+
+    ``paired``: tables arrive in the half-slab layout
+    [eta 0..H-1 | eta 1..H] (H = ETA_STRIDE/2; requires neta <= H+1 — the
+    RRTMGP mixing-fraction resolution is 9 = H+1).  The eta contraction
+    for a temperature pair then reads fm0*slab[:H] + fm1*slab[H:] and
+    selects row je with ONE (H, G) one-hot — ~9 vector ops per pair
+    instead of ~16 for the 16-row weight-plane form, with the SAME
+    dynamic-slice count (unlike the plane-path ``paired`` mode of
+    _kernel_multi, which doubled it and lost).  Numerics: the nonzero
+    path computes fm0*T[je] + fm1*T[je+1] either way, but the compiler
+    contracts the two-product form into an FMA (single rounding on the
+    second product — measured on XLA:CPU), so results differ from the
+    16-row form by <= ~1 ulp (the FMA value is the MORE accurate one)."""
     any_fp = any(m[1] for m in metas)
     k = 0
     fp_ref = None
@@ -432,12 +472,13 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, rows_ref, *refs):
     scs_scr = refs[-1] if sc_ops else None
     B = outs[0].shape[0]
     dtype = outs[0].dtype
+    H = ETA_STRIDE // 2
     iotas = {}
     for o in outs:
         w = o.shape[1]
         if w not in iotas:
             iotas[w] = jax.lax.broadcasted_iota(
-                jnp.int32, (ETA_STRIDE, w), 0).astype(dtype)
+                jnp.int32, (H if paired else ETA_STRIDE, w), 0).astype(dtype)
     hi = jax.lax.Precision.HIGHEST
 
     def cell(b, res_list, res_s):
@@ -445,22 +486,38 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, rows_ref, *refs):
         w_cache = {}
 
         def weights(mk, i):
+            """paired: the (H, G) bool one-hot on je; plain: the (16, G)
+            eta weight plane."""
             if (mk, i) not in w_cache:
                 res = res_list[mk]
                 je = res[i:i + 1, :]
                 e_iota = iotas[res.shape[1]]
-                fm0 = res[2 + 2 * i:3 + 2 * i, :]
-                fm1 = res[3 + 2 * i:4 + 2 * i, :]
-                if wsel:
-                    d = e_iota - je
-                    w = jnp.where(d == 0.0, fm0,
-                                  jnp.where(d == 1.0, fm1, 0.0))
+                if paired:
+                    w = e_iota == je
                 else:
-                    sel0 = (e_iota == je).astype(dtype)
-                    sel1 = (e_iota == je + 1).astype(dtype)
-                    w = fm0 * sel0 + fm1 * sel1
+                    fm0 = res[2 + 2 * i:3 + 2 * i, :]
+                    fm1 = res[3 + 2 * i:4 + 2 * i, :]
+                    if wsel:
+                        d = e_iota - je
+                        w = jnp.where(d == 0.0, fm0,
+                                      jnp.where(d == 1.0, fm1, 0.0))
+                    else:
+                        sel0 = (e_iota == je).astype(dtype)
+                        sel1 = (e_iota == je + 1).astype(dtype)
+                        w = fm0 * sel0 + fm1 * sel1
                 w_cache[(mk, i)] = w
             return w_cache[(mk, i)]
+
+        def contract(mk, i, slab):
+            """Eta-contract a temperature pair's (ETA_STRIDE, G) slab."""
+            if paired:
+                res = res_list[mk]
+                fm0 = res[2 + 2 * i:3 + 2 * i, :]
+                fm1 = res[3 + 2 * i:4 + 2 * i, :]
+                comb = fm0 * slab[:H, :] + fm1 * slab[H:, :]
+                return jnp.sum(jnp.where(weights(mk, i), comb, 0.0),
+                               axis=0, keepdims=True)
+            return jnp.sum(weights(mk, i) * slab, axis=0, keepdims=True)
 
         col = 0
         for iop, m in enumerate(metas):
@@ -486,10 +543,8 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, rows_ref, *refs):
                         * tables[iop][pl.ds(r0, 2 * ETA_STRIDE), :]
                         + fp * tables[iop][pl.ds(r1, 2 * ETA_STRIDE), :])
                 for i in (0, 1):
-                    pair = jnp.sum(
-                        weights(mk, i)
-                        * slab[i * ETA_STRIDE:(i + 1) * ETA_STRIDE, :],
-                        axis=0, keepdims=True)
+                    pair = contract(
+                        mk, i, slab[i * ETA_STRIDE:(i + 1) * ETA_STRIDE, :])
                     if has_cm:
                         pair = pair * res[6 + i:7 + i, :]
                     acc = acc + pair
@@ -501,8 +556,7 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, rows_ref, *refs):
                     r1 = rows_ref[b, col + 2 * i + 1] * ETA_STRIDE
                     slab = ((1.0 - fp) * tables[iop][pl.ds(r0, ETA_STRIDE), :]
                             + fp * tables[iop][pl.ds(r1, ETA_STRIDE), :])
-                    pair = jnp.sum(weights(mk, i) * slab,
-                                   axis=0, keepdims=True)
+                    pair = contract(mk, i, slab)
                     if has_cm:
                         pair = pair * res[6 + i:7 + i, :]
                     acc = acc + pair
@@ -513,19 +567,16 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, rows_ref, *refs):
                 r = rows_ref[b, col] * ETA_STRIDE
                 slab = tables[iop][pl.ds(r, 2 * ETA_STRIDE), :]
                 for i in (0, 1):
-                    pair = jnp.sum(
-                        weights(mk, i)
-                        * slab[i * ETA_STRIDE:(i + 1) * ETA_STRIDE, :],
-                        axis=0, keepdims=True)
+                    pair = contract(
+                        mk, i, slab[i * ETA_STRIDE:(i + 1) * ETA_STRIDE, :])
                     if has_cm:
                         pair = pair * res[6 + i:7 + i, :]
                     acc = acc + pair
             else:
                 for c, i in enumerate(corner_itemp):
                     r = rows_ref[b, col + c] * ETA_STRIDE
-                    pair = jnp.sum(
-                        weights(mk, i) * tables[iop][pl.ds(r, ETA_STRIDE), :],
-                        axis=0, keepdims=True)
+                    pair = contract(mk, i,
+                                    tables[iop][pl.ds(r, ETA_STRIDE), :])
                     if has_cm:
                         pair = pair * res[6 + i:7 + i, :]
                     acc = acc + pair
@@ -569,10 +620,12 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, rows_ref, *refs):
 
 
 @functools.partial(jax.jit, static_argnames=("metas", "neta", "block",
-                                             "unroll", "sc_ops", "wsel"))
+                                             "unroll", "sc_ops", "wsel",
+                                             "paired"))
 def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
                        neta: int, block: int = 256, unroll: int = 4,
-                       sc=None, msc=None, sc_ops=None, wsel: bool = False):
+                       sc=None, msc=None, sc_ops=None, wsel: bool = False,
+                       paired: bool = False):
     """Multi-table interpolation with IN-KERNEL weight-plane resolves.
 
     Same op semantics as :func:`interp_rows_multi`, but instead of 8
@@ -601,11 +654,20 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
         sc_ops = tuple(range(len(metas)))
     sc_ops = tuple(sc_ops or ())
 
+    H = ETA_STRIDE // 2
+    paired = paired and neta <= H + 1
     tbls, out_ws = [], []
     for t, m in zip(tables, metas):
         Gi = M2s[m[3] if len(m) > 3 else 0].shape[1]
         assert t.shape[1] == neta and t.shape[2] == Gi, (t.shape, neta, Gi)
-        tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
+        if paired:
+            # Half-slab pair layout [eta 0..H-1 | eta 1..H] (see
+            # _kernel_cellw): the in-kernel eta contraction runs at (H, G).
+            t9 = (t if neta == H + 1 else
+                  jnp.pad(t, ((0, 0), (0, H + 1 - neta), (0, 0))))
+            tp = jnp.concatenate([t9[:, :H], t9[:, 1:H + 1]], axis=1)
+        else:
+            tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
         tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, Gi))
         out_ws.append(Gi)
 
@@ -661,7 +723,7 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
         scratch.append(pltpu.VMEM((block, msc.shape[1]), dtype))
     outs = pl.pallas_call(
         functools.partial(_kernel_cellw, metas, unroll, len(M2s), sc_ops,
-                          wsel),
+                          wsel, paired),
         grid=(n_pad // block,),
         in_specs=specs,
         out_specs=[pl.BlockSpec((block, w), lambda ib: (ib, 0),

@@ -429,6 +429,58 @@ def test_dup2_lane_merged_pair_matches_singles():
                                rtol=2e-6, atol=1e-6)
 
 
+def test_cellw_paired_halfslab_matches_plain(monkeypatch):
+    """RTE_RRTMGP_PALLAS_PAIRC=1 (half-slab paired table layout, (8, G)
+    eta contraction) matches the plain 16-row layout to ~1 ulp through
+    every cellw production entry: merged major+planck+minor, merged
+    major+rayleigh+minor, and standalone tau_rayleigh (2-corner adj).
+    Not bitwise: the paired form's fm0*T[je] + fm1*T[je+1] combine
+    contracts to an FMA (single rounding, the more accurate value) —
+    measured 1-ulp max deltas on XLA:CPU."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from rte_rrtmgp_tpu.ops import gas_optics as go
+    from rte_rrtmgp_tpu import config as cfg
+
+    monkeypatch.setenv("RTE_RRTMGP_PALLAS", "1")
+    assert cfg.use_pallas()
+    for lw in (True, False):
+        kd = small_kdist(longwave=lw)
+        kd = jax.tree.map(lambda a: a.astype(np.float32)
+                          if hasattr(a, "dtype") and a.dtype.kind == "f"
+                          else a, kd)
+        atm = small_atmos(ncol=4, nlay=6, seed=11)
+        vmr, col_dry = atmos_inputs(kd, atm)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        col_gas = go.build_col_gas(f32(vmr), f32(col_dry))
+        p, t = f32(atm["p_lay"]), f32(atm["t_lay"])
+        interp = go.interpolation(kd, p, t, col_gas)
+        with pltpu.force_tpu_interpret_mode():
+            cw = go.cellw_resolves(kd, interp)
+            assert cw is not None
+            outs = {}
+            for pairc in ("0", "1"):
+                monkeypatch.setenv("RTE_RRTMGP_PALLAS_PAIRC", pairc)
+                if lw:
+                    a, b = go.tau_majmin_and_pfrac(
+                        kd, interp, p, t, col_gas, cellw=cw)
+                    outs[pairc] = (a, b)
+                else:
+                    a, b = go.tau_majmin_and_rayleigh(
+                        kd, interp, p, t, col_gas, f32(col_dry), cellw=cw)
+                    r = go.tau_rayleigh(kd, interp, col_gas, f32(col_dry),
+                                        cellw=cw)
+                    outs[pairc] = (a, b, r)
+        for x0, x1 in zip(outs["0"], outs["1"]):
+            np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                                       rtol=1e-6, atol=1e-30)
+
+
 def test_cellw_kernel_lowers_for_tpu():
     """Cross-lower the cellw kernel for the TPU platform via jax.export:
     the Pallas -> Mosaic frontend runs at lowering time on the host, so
@@ -494,6 +546,22 @@ def test_cellw_kernel_lowers_for_tpu():
         e3 = export.export(jax.jit(h), platforms=["tpu"])(
             tbl, tblm, rows, rows2, V, M2, M2m, fp, sc, mscm)
         assert [tuple(o.shape) for o in e3.out_avals] == [(N, G), (N, G),
+                                                          (N, CT)]
+
+        # Paired half-slab layout with the production adjacent-corner
+        # metas (the PAIRC mode's exact lowering shape).
+        def hp(tbl, tblm, rows, rows2, V, M2, M2m, fp, sc, mscm):
+            return interp_cellw_multi(
+                [tbl, tbl, tblm], [rows, rows2, rows2], V, [M2, M2m], fp,
+                metas=(((0, 0, 1, 1), True, True, 0, True),
+                       ((0, 1), False, False, 0, True),
+                       ((0, 1), False, False, 1, True)),
+                neta=E, block=32, unroll=8, sc=sc, msc=mscm, sc_ops=(2,),
+                paired=True)
+
+        e4 = export.export(jax.jit(hp), platforms=["tpu"])(
+            tbl, tblm, rows, rows2, V, M2, M2m, fp, sc, mscm)
+        assert [tuple(o.shape) for o in e4.out_avals] == [(N, G), (N, G),
                                                           (N, CT)]
     sys.setrecursionlimit(old_limit)
 

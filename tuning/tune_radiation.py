@@ -72,6 +72,11 @@ def main():
     _cfg.enable_compilation_cache()
     from rte_rrtmgp_tpu.utils import tuner
 
+    if os.environ.get("TUNE_CANDS"):
+        # Explicit candidate list (JSON) — targeted A/Bs without editing
+        # the sweep, e.g. TUNE_CANDS='[{"gpt_chunk":128,"pallas":1,...}]'.
+        return _run_and_persist(json.loads(os.environ["TUNE_CANDS"]), tuner)
+
     if os.environ.get("TUNE_QUICK"):
         # Reduced sweep for shapes whose per-candidate compile runs tens
         # of minutes (the 4096x256 RCEMIP shape): current default winner,
@@ -82,6 +87,8 @@ def main():
              "cellw": 1},
             {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
              "cellw": 1, "wsel": 1},
+            {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+             "cellw": 1, "wsel": 1, "pairc": 1},
             {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
              "cellw": 1, "layermajor": 1},
         ]
@@ -119,6 +126,9 @@ def main():
          "cellw": 1, "layermajor": 1, "wsel": 1},
         {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
          "cellw": 1, "wsel": 1},
+        # Half-slab paired eta contraction (round 5, pairc_enabled()).
+        {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+         "cellw": 1, "wsel": 1, "pairc": 1},
     ]
 
     return _run_and_persist(candidates, tuner)
@@ -136,6 +146,7 @@ def _run_and_persist(candidates, tuner):
             cand.get("merge_minor", 1))
         env["RTE_RRTMGP_LAYERMAJOR"] = str(cand.get("layermajor", 0))
         env["RTE_RRTMGP_PALLAS_WSEL"] = str(cand.get("wsel", 0))
+        env["RTE_RRTMGP_PALLAS_PAIRC"] = str(cand.get("pairc", 0))
         env["TUNE_NCOL"], env["TUNE_NLAY"] = str(NCOL), str(NLAY)
         try:
             proc = subprocess.run(
