@@ -27,10 +27,15 @@ depth-blind).  The sequential dependence along nlay is preserved by the
 grid's iteration order (last grid dimension fastest).
 
 Sweeps that run in both directions become one pallas_call per direction,
-with the per-layer intermediates (trans/fact for LW; rdif/tdif/sup/sdn
-and the adding-method albedo/source levels for SW) staged in HBM as
-layer-major planes between passes — trading O(plane) HBM round-trips
-(~0.1 ms each at 2048x72x128) for the retiling copies and the VMEM cap.
+with per-layer intermediates staged in HBM as layer-major planes between
+passes — trading O(plane) HBM round-trips (~0.1 ms each at 2048x72x128)
+for the retiling copies and the VMEM cap.  Both solvers RECOMPUTE the
+per-layer optical quantities in whichever passes need them (trans/fact
+for LW; the Meador-Weaver coefficients for SW) instead of staging them:
+FLOPs are cheaper than HBM bandwidth here.  The SW solve stages only the
+incident direct beam (pass 1) and the four pre-combined adding/flux
+quantities c1/c0/a1/s1 (pass 2) — 13 plane round-trips total vs 18 for
+the stage-everything form (the round-5 traffic cut).
 
 Flux outputs are broadband-reduced in-kernel and written as
 ``((nlay+1)*ncol, 1)`` layer-major level rows; the wrappers reshape to
@@ -261,15 +266,15 @@ def lw_sweep_broadband_lm(tau_lm, lay_lm, lev_lm, sfc_emis, sfc_src,
 # ---------------------------------------------------------------------------
 
 
-def _sw_coeff_kernel(nlay, kmin, tmin,
-                     tau_ref, ssa_ref, g_ref, mu0_ref, incdir_ref,
-                     rdif_ref, tdif_ref, sup_ref, sdn_ref,
-                     dir_body_ref, dir_top_ref, fdir_sfc_ref, fdir_s):
-    """Meador-Weaver coefficients + the direct-beam down sweep
-    (rte_solver_kernels.cu:543-655)."""
+def _sw_dir_kernel(nlay, tau_ref, mu0_ref, incdir_ref,
+                   fdir_in_ref, dir_body_ref, dir_top_ref, fdir_s):
+    """Direct-beam down sweep ONLY (rte_solver_kernels.cu:543-560): stages
+    the per-layer INCIDENT beam fdir_in (the value entering layer l) for
+    the adding pass, which recomputes the Meador-Weaver coefficients
+    in-register instead of reading four staged coefficient planes — the
+    round-5 traffic cut (18 -> 13 plane round-trips for the SW solve;
+    see sw_2stream_broadband_lm)."""
     l = pl.program_id(1)
-    dt = tau_ref.dtype
-    one = dt.type(1.0)
     mu0 = mu0_ref[...]
 
     @pl.when(l == 0)
@@ -277,6 +282,35 @@ def _sw_coeff_kernel(nlay, kmin, tmin,
         f0 = incdir_ref[...] * mu0
         fdir_s[...] = f0
         dir_top_ref[...] = jnp.sum(f0, axis=1, keepdims=True)
+
+    fdir = fdir_s[...]
+    fdir_in_ref[...] = fdir
+    fdir = jnp.exp(-tau_ref[...] / mu0) * fdir
+    fdir_s[...] = fdir
+    dir_body_ref[...] = jnp.sum(fdir, axis=1, keepdims=True)
+
+
+def _sw_coeff_adding_kernel(nlay, kmin, tmin,
+                            tau_ref, ssa_ref, g_ref, fdir_in_ref, mu0_ref,
+                            adir_ref, adif_ref, incdif_ref,
+                            c1_ref, c0_ref, a1_ref, s1_ref, up_top_ref,
+                            alb_s, src_s):
+    """Meador-Weaver coefficients (recomputed from tau/ssa/g — FLOPs are
+    cheaper than staging four planes) fused with the adding-method
+    albedo/source up sweep (:216-227).  Emits per layer the EXACT
+    quantities the flux down-sweep consumes:
+
+      c1 = tdif * denom,  c0 = (rdif*src_in + sdn) * denom,
+      a1 = alb_in,        s1 = src_in       (denom = 1/(1 - rdif*alb_in))
+
+    where alb_in/src_in are the level-(l+1) adding state (this step's
+    carry BEFORE its update) — so the down sweep is a pure 2-term
+    recurrence with no boundary substitution and no coefficient reads.
+    The t == nlay-1 step also emits the TOA up flux."""
+    t = pl.program_id(1)
+    dt = tau_ref.dtype
+    one = dt.type(1.0)
+    mu0 = mu0_ref[...]
 
     tau = tau_ref[...]
     ssa = ssa_ref[...]
@@ -312,64 +346,41 @@ def _sw_coeff_kernel(nlay, kmin, tmin,
     r_dir = jnp.maximum(tmin, jnp.minimum(r_dir, one - t_noscat))
     t_dir = jnp.maximum(tmin, jnp.minimum(t_dir, one - t_noscat - r_dir))
 
-    fdir = fdir_s[...]
-    rdif_ref[...] = rdif
-    tdif_ref[...] = tdif
-    sup_ref[...] = r_dir * fdir
-    sdn_ref[...] = t_dir * fdir
-    fdir = t_noscat * fdir
-    fdir_s[...] = fdir
-    dir_body_ref[...] = jnp.sum(fdir, axis=1, keepdims=True)
-
-    @pl.when(l == nlay - 1)
-    def _():
-        fdir_sfc_ref[...] = fdir
-
-
-def _sw_adding_up_kernel(nlay,
-                         rdif_ref, tdif_ref, sup_ref, sdn_ref,
-                         adir_ref, adif_ref, fdir_sfc_ref, incdif_ref,
-                         alb_body_ref, src_body_ref, up_top_ref,
-                         alb_s, src_s):
-    """Adding-method albedo/source up sweep (:216-227); the t == nlay-1
-    step also emits the TOA up flux (inc_dif reflected off the whole
-    column) so the flux pass needs no level-0 operand."""
-    t = pl.program_id(1)
-    one = rdif_ref.dtype.type(1.0)
+    fdir = fdir_in_ref[...]
+    sup = r_dir * fdir
+    sdn = t_dir * fdir
 
     @pl.when(t == 0)
     def _():
         alb_s[...] = adif_ref[...]
-        src_s[...] = fdir_sfc_ref[...] * adir_ref[...]
+        # Surface source: the beam EXITS the bottom layer attenuated.
+        src_s[...] = (t_noscat * fdir) * adir_ref[...]
 
     alb = alb_s[...]
     src = src_s[...]
-    rdif = rdif_ref[...]
-    tdif = tdif_ref[...]
     denom = one / (one - rdif * alb)
-    src = sup_ref[...] + tdif * denom * (src + alb * sdn_ref[...])
-    alb = rdif + tdif * tdif * alb * denom
-    alb_s[...] = alb
-    src_s[...] = src
-    alb_body_ref[...] = alb
-    src_body_ref[...] = src
+    td = tdif * denom
+    c1_ref[...] = td
+    c0_ref[...] = (rdif * src + sdn) * denom
+    a1_ref[...] = alb
+    s1_ref[...] = src
+    src_new = sup + td * (src + alb * sdn)
+    alb_new = rdif + tdif * td * alb
+    alb_s[...] = alb_new
+    src_s[...] = src_new
 
     @pl.when(t == nlay - 1)
     def _():
         dn0 = incdif_ref[...]
-        up_top_ref[...] = jnp.sum(dn0 * alb + src, axis=1, keepdims=True)
+        up_top_ref[...] = jnp.sum(dn0 * alb_new + src_new,
+                                  axis=1, keepdims=True)
 
 
-def _sw_flux_dn_kernel(nlay,
-                       rdif_ref, tdif_ref, sdn_ref, alb_hi_ref, src_hi_ref,
-                       fdir_sfc_ref, adir_ref, adif_ref, incdif_ref,
+def _sw_flux_dn_kernel(nlay, c1_ref, c0_ref, a1_ref, s1_ref, incdif_ref,
                        up_body_ref, dn_body_ref, dn_top_ref, dn_s):
-    """Diffuse-flux down sweep (:231-243).  alb_hi/src_hi deliver the
-    level-(l+1) adding state: body rows for l < nlay-1, the surface
-    boundary values (sfc_alb_dif / fdir_sfc*sfc_alb_dir) at the last
-    layer."""
+    """Diffuse-flux down sweep (:231-243) on the pre-combined adding
+    quantities: dn <- c1*dn + c0, up[l+1] = dn*a1 + s1."""
     l = pl.program_id(1)
-    one = rdif_ref.dtype.type(1.0)
 
     @pl.when(l == 0)
     def _():
@@ -377,15 +388,10 @@ def _sw_flux_dn_kernel(nlay,
         dn_s[...] = dn0
         dn_top_ref[...] = jnp.sum(dn0, axis=1, keepdims=True)
 
-    last = l == nlay - 1
-    alb1 = jnp.where(last, adif_ref[...], alb_hi_ref[...])
-    src1 = jnp.where(last, fdir_sfc_ref[...] * adir_ref[...],
-                     src_hi_ref[...])
-    rdif = rdif_ref[...]
-    denom = one / (one - rdif * alb1)
-    dn = (tdif_ref[...] * dn_s[...] + rdif * src1 + sdn_ref[...]) * denom
+    dn = c1_ref[...] * dn_s[...] + c0_ref[...]
     dn_s[...] = dn
-    up_body_ref[...] = jnp.sum(dn * alb1 + src1, axis=1, keepdims=True)
+    up_body_ref[...] = jnp.sum(dn * a1_ref[...] + s1_ref[...],
+                               axis=1, keepdims=True)
     dn_body_ref[...] = jnp.sum(dn, axis=1, keepdims=True)
 
 
@@ -438,48 +444,39 @@ def sw_2stream_broadband_lm(tau_lm, ssa_lm, g_lm, mu0, sfc_alb_dir,
     lvl1 = lambda: jax.ShapeDtypeStruct((nlay * n, 1), dtype)
     coln = lambda w=1: jax.ShapeDtypeStruct((n, w), dtype)
 
-    rdif, tdif, sup, sdn, dir_body, dir_top, fdir_sfc = pl.pallas_call(
-        functools.partial(_sw_coeff_kernel, nlay,
+    fdir_in, dir_body, dir_top = pl.pallas_call(
+        functools.partial(_sw_dir_kernel, nlay),
+        grid=(nb, nlay),
+        in_specs=[lane(), col1, col2d],
+        out_specs=[lane(), out_body, out_col1],
+        out_shape=[plane(), lvl1(), coln()],
+        scratch_shapes=[pltpu.VMEM((B, NG), dtype)],
+        compiler_params=_PARAMS,
+    )(tau_lm, mu0.reshape(-1, 1), inc_flux_dir)
+
+    c1, c0, a1, s1, up_top = pl.pallas_call(
+        functools.partial(_sw_coeff_adding_kernel, nlay,
                           dtype.type(config.k_min(dtype)),
                           dtype.type(config.eps(dtype))),
         grid=(nb, nlay),
-        in_specs=[lane(), lane(), lane(), col1, col2d],
-        out_specs=[lane(), lane(), lane(), lane(), out_body, out_col1,
-                   col2d],
-        out_shape=[plane(), plane(), plane(), plane(), lvl1(), coln(),
-                   coln(NG)],
-        scratch_shapes=[pltpu.VMEM((B, NG), dtype)],
-        compiler_params=_PARAMS,
-    )(tau_lm, ssa_lm, g_lm, mu0.reshape(-1, 1), inc_flux_dir)
-
-    alb_body, src_body, up_top = pl.pallas_call(
-        functools.partial(_sw_adding_up_kernel, nlay),
-        grid=(nb, nlay),
-        in_specs=[rev(), rev(), rev(), rev(), col2d, col2d, col2d, col2d],
-        out_specs=[rev_lane_out, rev_lane_out, out_col1],
-        out_shape=[plane(), plane(), coln()],
+        in_specs=[rev(), rev(), rev(), rev(), col1, col2d, col2d, col2d],
+        out_specs=[rev_lane_out, rev_lane_out, rev_lane_out, rev_lane_out,
+                   out_col1],
+        out_shape=[plane(), plane(), plane(), plane(), coln()],
         scratch_shapes=[pltpu.VMEM((B, NG), dtype)] * 2,
         compiler_params=_PARAMS,
-    )(rdif, tdif, sup, sdn, sfc_alb_dir, sfc_alb_dif, fdir_sfc,
-      inc_flux_dif)
+    )(tau_lm, ssa_lm, g_lm, fdir_in, mu0.reshape(-1, 1), sfc_alb_dir,
+      sfc_alb_dif, inc_flux_dif)
 
-    # Level-(l+1) adding state: body rows for l+1 <= nlay-1; at the last
-    # layer the kernel substitutes the surface boundary values.
-    lane_hi_clip = pl.BlockSpec(
-        (B, NG),
-        lambda cb, l: (jnp.minimum(l + 1, nlay - 1) * nb + cb, 0),
-        memory_space=pltpu.VMEM)
     up_body, dn_body, dn_top = pl.pallas_call(
         functools.partial(_sw_flux_dn_kernel, nlay),
         grid=(nb, nlay),
-        in_specs=[lane(), lane(), lane(), lane_hi_clip, lane_hi_clip,
-                  col2d, col2d, col2d, col2d],
+        in_specs=[lane(), lane(), lane(), lane(), col2d],
         out_specs=[out_body, out_body, out_col1],
         out_shape=[lvl1(), lvl1(), coln()],
         scratch_shapes=[pltpu.VMEM((B, NG), dtype)],
         compiler_params=_PARAMS,
-    )(rdif, tdif, sdn, alb_body, src_body, fdir_sfc, sfc_alb_dir,
-      sfc_alb_dif, inc_flux_dif)
+    )(c1, c0, a1, s1, inc_flux_dif)
 
     fdir = jnp.concatenate(
         [dir_top.reshape(1, n), dir_body.reshape(nlay, n)], axis=0).T[:ncol]
