@@ -514,12 +514,20 @@ def tau_major_and_pfrac(kd: KDist, interp: Interp, resolves=None, g0=0,
             from .pallas import interp_cellw_multi
 
             M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
-            tau, pfrac = interp_cellw_multi(
-                [kd.kmajor_rows, kd.planck_rows],
-                [cellw.rows, cellw.rows], cellw.V, M2, cellw.fp,
-                metas=(((0, 0, 1, 1), True, True, 0, True),
-                       ((0, 0, 1, 1), True, False, 0, True)),
-                neta=kd.neta, **_cellw_opts())
+            if dup2c_enabled():
+                tbl2 = jnp.concatenate([kd.kmajor_rows, kd.planck_rows],
+                                       axis=2)
+                tau, pfrac = interp_cellw_multi(
+                    [tbl2], [cellw.rows], cellw.V, M2, cellw.fp,
+                    metas=(((0, 0, 1, 1), True, True, 0, True, True),),
+                    neta=kd.neta, **_cellw_opts())
+            else:
+                tau, pfrac = interp_cellw_multi(
+                    [kd.kmajor_rows, kd.planck_rows],
+                    [cellw.rows, cellw.rows], cellw.V, M2, cellw.fp,
+                    metas=(((0, 0, 1, 1), True, True, 0, True),
+                           ((0, 0, 1, 1), True, False, 0, True)),
+                    neta=kd.neta, **_cellw_opts())
             if cellw.order == "lm":
                 return tau, pfrac
             return tau.reshape(C, L, G), pfrac.reshape(C, L, G)
@@ -837,6 +845,29 @@ def merge_minor_enabled() -> bool:
     return True
 
 
+def dup2c_enabled() -> bool:
+    """Whether the cellw LW pass lane-merges the kmajor|planck table pair
+    (ONE 32x2G slice per pressure instead of two 32xG slices — the
+    per-cell dynamic-slice count, the dominant per-cell cost, drops by
+    a third for the LW pass; in-kernel lane split avoids the plane-path
+    dup2's output-split copies).  Env > persisted autotune winner >
+    default off until measured on hardware."""
+    import os
+
+    env = os.environ.get("RTE_RRTMGP_PALLAS_DUP2C")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        from ..utils import tuner
+
+        t = tuner.best_kernel_opts() or {}
+        if t.get("dup2c") is not None:
+            return bool(t["dup2c"])
+    except Exception:
+        pass
+    return False
+
+
 def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
                          resolves=None, g0=0, cellw=None):
     """kmajor + planck-fraction + MINOR in one Pallas pass (cellw mode,
@@ -858,15 +889,29 @@ def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
             G = kd.kmajor_rows.shape[2]
             M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
             M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
-            tau, pfrac, upd = interp_cellw_multi(
-                [kd.kmajor_rows, kd.planck_rows, tbl_m],
-                [cellw.rows, cellw.rows, rows_m], cellw.V, [M2, M2m],
-                cellw.fp,
-                metas=(((0, 0, 1, 1), True, True, 0, True),
-                       ((0, 0, 1, 1), True, False, 0, True),
-                       ((0, 1), False, False, 1, True)),
-                neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
-                sc_ops=(2,), **_cellw_opts())
+            if dup2c_enabled():
+                # Lane-merged kmajor|planck (shared rows/weights/fp): one
+                # dup2 op with two outputs — per-cell slice count for the
+                # pair halves (see interp_kernel._kernel_cellw).
+                tbl2 = jnp.concatenate([kd.kmajor_rows, kd.planck_rows],
+                                       axis=2)
+                tau, pfrac, upd = interp_cellw_multi(
+                    [tbl2, tbl_m], [cellw.rows, rows_m], cellw.V,
+                    [M2, M2m], cellw.fp,
+                    metas=(((0, 0, 1, 1), True, True, 0, True, True),
+                           ((0, 1), False, False, 1, True)),
+                    neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
+                    sc_ops=(1,), **_cellw_opts())
+            else:
+                tau, pfrac, upd = interp_cellw_multi(
+                    [kd.kmajor_rows, kd.planck_rows, tbl_m],
+                    [cellw.rows, cellw.rows, rows_m], cellw.V, [M2, M2m],
+                    cellw.fp,
+                    metas=(((0, 0, 1, 1), True, True, 0, True),
+                           ((0, 0, 1, 1), True, False, 0, True),
+                           ((0, 1), False, False, 1, True)),
+                    neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
+                    sc_ops=(2,), **_cellw_opts())
             if flat:
                 # Layer-major interchange: stay (N, G) — the stitch is a
                 # lane op and the layer-grid solvers consume (N, G)

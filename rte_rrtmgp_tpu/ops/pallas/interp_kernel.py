@@ -451,7 +451,17 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
     path computes fm0*T[je] + fm1*T[je+1] either way, but the compiler
     contracts the two-product form into an FMA (single rounding on the
     second product — measured on XLA:CPU), so results differ from the
-    16-row form by <= ~1 ulp (the FMA value is the MORE accurate one)."""
+    16-row form by <= ~1 ulp (the FMA value is the MORE accurate one).
+
+    A meta entry may carry a 6th element ``dup2=True`` (requires the
+    has_fp + adj form): the op's table is TWO tables lane-concatenated to
+    (R, E, 2G) (kmajor|planck, which share rows, eta weights AND the
+    pressure fraction), and the op writes TWO (B, G) outputs (in-kernel
+    lane split — the plane-path dup2's (N, 2G) output-split copies, which
+    made it a wash, never materialize).  Per-cell dynamic-slice count for
+    the pair halves; col_mix folds into the first half's fm rows (one
+    extra rounding vs the separate-op form, covered by the op tolerance
+    tests)."""
     any_fp = any(m[1] for m in metas)
     k = 0
     fp_ref = None
@@ -466,9 +476,10 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
     if sc_ops:
         sc_ref, msc_ref = refs[k:k + 2]
         k += 2
+    n_out = sum(2 if (len(m) > 5 and m[5]) else 1 for m in metas)
     tables = refs[k:k + len(metas)]
-    outs = refs[k + len(metas):k + 2 * len(metas)]
-    res_scrs = refs[k + 2 * len(metas):k + 2 * len(metas) + n_m2]
+    outs = refs[k + len(metas):k + len(metas) + n_out]
+    res_scrs = refs[k + len(metas) + n_out:k + len(metas) + n_out + n_m2]
     scs_scr = refs[-1] if sc_ops else None
     B = outs[0].shape[0]
     dtype = outs[0].dtype
@@ -520,13 +531,54 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
             return jnp.sum(weights(mk, i) * slab, axis=0, keepdims=True)
 
         col = 0
+        slot = 0
         for iop, m in enumerate(metas):
             corner_itemp, has_fp, has_cm = m[:3]
             mk = m[3] if len(m) > 3 else 0
             adj = m[4] if len(m) > 4 else False
+            dup2 = len(m) > 5 and m[5]
             res = res_list[mk]
             nc = len(corner_itemp)
-            G = outs[iop].shape[1]
+            G = outs[slot].shape[1]
+            if dup2:
+                # Lane-merged kmajor|planck pair (has_fp + adj enforced by
+                # the wrapper): ONE (32, 2G) slice per pressure serves both
+                # tables; weights/selects duplicate along lanes (cheap vreg
+                # moves), col_mix folds into the first half's fm rows, and
+                # the (1, 2G) accumulator lane-splits into the two outputs
+                # IN-KERNEL (no (N, 2G) output-split copies).
+                r0 = rows_ref[b, col] * ETA_STRIDE
+                r1 = rows_ref[b, col + 1] * ETA_STRIDE
+                slab = ((1.0 - fp)
+                        * tables[iop][pl.ds(r0, 2 * ETA_STRIDE), :]
+                        + fp * tables[iop][pl.ds(r1, 2 * ETA_STRIDE), :])
+                acc = jnp.zeros((1, 2 * G), dtype)
+                for i in (0, 1):
+                    s_i = slab[i * ETA_STRIDE:(i + 1) * ETA_STRIDE, :]
+                    cm = res[6 + i:7 + i, :] if has_cm else None
+                    if paired:
+                        fm0 = res[2 + 2 * i:3 + 2 * i, :]
+                        fm1 = res[3 + 2 * i:4 + 2 * i, :]
+                        f0 = jnp.concatenate(
+                            [fm0 * cm if has_cm else fm0, fm0], axis=1)
+                        f1 = jnp.concatenate(
+                            [fm1 * cm if has_cm else fm1, fm1], axis=1)
+                        sel = weights(mk, i)
+                        sel2 = jnp.concatenate([sel, sel], axis=1)
+                        comb = f0 * s_i[:H, :] + f1 * s_i[H:, :]
+                        pair = jnp.sum(jnp.where(sel2, comb, 0.0),
+                                       axis=0, keepdims=True)
+                    else:
+                        w = weights(mk, i)
+                        w2 = jnp.concatenate(
+                            [w * cm if has_cm else w, w], axis=1)
+                        pair = jnp.sum(w2 * s_i, axis=0, keepdims=True)
+                    acc = acc + pair
+                outs[slot][b, :] = acc[0, :G]
+                outs[slot + 1][b, :] = acc[0, G:]
+                slot += 2
+                col += nc
+                continue
             acc = jnp.zeros((1, G), dtype)
             if has_fp and adj:
                 # 4-corner (i0p0, i0p1, i1p0, i1p1) with the adj meta flag
@@ -582,7 +634,8 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
                     acc = acc + pair
             if iop in sc_ops:
                 acc = acc * res_s
-            outs[iop][b, :] = acc[0]
+            outs[slot][b, :] = acc[0]
+            slot += 1
             col += nc
 
     # Whole-block resolve pre-pass: ONE (B*8, P) @ (P, G) MXU matmul per
@@ -657,9 +710,15 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
     H = ETA_STRIDE // 2
     paired = paired and neta <= H + 1
     tbls, out_ws = [], []
-    for t, m in zip(tables, metas):
+    for iop, (t, m) in enumerate(zip(tables, metas)):
         Gi = M2s[m[3] if len(m) > 3 else 0].shape[1]
-        assert t.shape[1] == neta and t.shape[2] == Gi, (t.shape, neta, Gi)
+        dup2 = len(m) > 5 and m[5]
+        tw = 2 * Gi if dup2 else Gi
+        assert t.shape[1] == neta and t.shape[2] == tw, (t.shape, neta, tw)
+        if dup2:
+            assert m[1] and len(m) > 4 and m[4], \
+                "dup2 requires the has_fp + adj form"
+            assert iop not in sc_ops, "dup2 ops cannot take sc scaling"
         if paired:
             # Half-slab pair layout [eta 0..H-1 | eta 1..H] (see
             # _kernel_cellw): the in-kernel eta contraction runs at (H, G).
@@ -668,8 +727,8 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
             tp = jnp.concatenate([t9[:, :H], t9[:, 1:H + 1]], axis=1)
         else:
             tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
-        tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, Gi))
-        out_ws.append(Gi)
+        tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, tw))
+        out_ws.extend([Gi, Gi] if dup2 else [Gi])
 
     rows = jnp.concatenate(rows_list, axis=1)
     P = V.shape[1]

@@ -4,6 +4,8 @@ Runs the kernel in interpreter mode on CPU (tests never see real TPU), and
 checks the gas-optics dispatch produces identical math.
 """
 
+import functools
+
 import numpy as np
 import pytest
 import jax
@@ -481,6 +483,50 @@ def test_cellw_paired_halfslab_matches_plain(monkeypatch):
                                        rtol=1e-6, atol=1e-30)
 
 
+def test_cellw_dup2_lane_merged_pair_matches(monkeypatch):
+    """RTE_RRTMGP_PALLAS_DUP2C=1 (lane-merged kmajor|planck, in-kernel
+    lane split) matches the separate-op cellw path through the LW
+    production entries, with pairc both off and on.  col_mix folds into
+    the first half's fm rows — one extra rounding, covered by the op
+    tolerance."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from rte_rrtmgp_tpu.ops import gas_optics as go
+    from rte_rrtmgp_tpu import config as cfg
+
+    monkeypatch.setenv("RTE_RRTMGP_PALLAS", "1")
+    assert cfg.use_pallas()
+    kd = small_kdist(longwave=True)
+    kd = jax.tree.map(lambda a: a.astype(np.float32)
+                      if hasattr(a, "dtype") and a.dtype.kind == "f"
+                      else a, kd)
+    atm = small_atmos(ncol=4, nlay=6, seed=13)
+    vmr, col_dry = atmos_inputs(kd, atm)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    col_gas = go.build_col_gas(f32(vmr), f32(col_dry))
+    p, t = f32(atm["p_lay"]), f32(atm["t_lay"])
+    interp = go.interpolation(kd, p, t, col_gas)
+    for pairc in ("0", "1"):
+        monkeypatch.setenv("RTE_RRTMGP_PALLAS_PAIRC", pairc)
+        with pltpu.force_tpu_interpret_mode():
+            cw = go.cellw_resolves(kd, interp)
+            outs = {}
+            for dup2c in ("0", "1"):
+                monkeypatch.setenv("RTE_RRTMGP_PALLAS_DUP2C", dup2c)
+                a, b = go.tau_majmin_and_pfrac(
+                    kd, interp, p, t, col_gas, cellw=cw)
+                a2, b2 = go.tau_major_and_pfrac(kd, interp, cellw=cw)
+                outs[dup2c] = (a, b, a2, b2)
+        for x0, x1 in zip(outs["0"], outs["1"]):
+            np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                                       rtol=2e-6, atol=1e-30)
+
+
 def test_cellw_kernel_lowers_for_tpu():
     """Cross-lower the cellw kernel for the TPU platform via jax.export:
     the Pallas -> Mosaic frontend runs at lowering time on the host, so
@@ -563,6 +609,26 @@ def test_cellw_kernel_lowers_for_tpu():
             tbl, tblm, rows, rows2, V, M2, M2m, fp, sc, mscm)
         assert [tuple(o.shape) for o in e4.out_avals] == [(N, G), (N, G),
                                                           (N, CT)]
+
+        # dup2 lane-merged pair (two outputs from one (R, E, 2G) table),
+        # with and without the paired half-slab layout.
+        tbl2 = jnp.concatenate([tbl, tbl], axis=2)
+
+        def hd(tbl2, tblm, rows, rows2, V, M2, M2m, fp, sc, mscm, paired):
+            return interp_cellw_multi(
+                [tbl2, tblm], [rows, rows2], V, [M2, M2m], fp,
+                metas=(((0, 0, 1, 1), True, True, 0, True, True),
+                       ((0, 1), False, False, 1, True)),
+                neta=E, block=32, unroll=8, sc=sc, msc=mscm, sc_ops=(1,),
+                paired=paired)
+
+        for paired in (False, True):
+            e5 = export.export(
+                jax.jit(functools.partial(hd, paired=paired)),
+                platforms=["tpu"])(tbl2, tblm, rows, rows2, V, M2, M2m,
+                                   fp, sc, mscm)
+            assert [tuple(o.shape) for o in e5.out_avals] == [
+                (N, G), (N, G), (N, CT)]
     sys.setrecursionlimit(old_limit)
 
 

@@ -129,6 +129,9 @@ def main():
         # Half-slab paired eta contraction (round 5, pairc_enabled()).
         {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
          "cellw": 1, "wsel": 1, "pairc": 1},
+        # + lane-merged kmajor|planck dup2 pair (dup2c_enabled()).
+        {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+         "cellw": 1, "wsel": 1, "pairc": 1, "dup2c": 1},
     ]
 
     return _run_and_persist(candidates, tuner)
@@ -147,6 +150,7 @@ def _run_and_persist(candidates, tuner):
         env["RTE_RRTMGP_LAYERMAJOR"] = str(cand.get("layermajor", 0))
         env["RTE_RRTMGP_PALLAS_WSEL"] = str(cand.get("wsel", 0))
         env["RTE_RRTMGP_PALLAS_PAIRC"] = str(cand.get("pairc", 0))
+        env["RTE_RRTMGP_PALLAS_DUP2C"] = str(cand.get("dup2c", 0))
         env["TUNE_NCOL"], env["TUNE_NLAY"] = str(NCOL), str(NLAY)
         try:
             proc = subprocess.run(
