@@ -154,6 +154,84 @@ def test_sw_semi_infinite_conservative_albedo():
     assert r > 0.999
 
 
+@pytest.mark.parametrize("n_angles", [1, 2, 3])
+@pytest.mark.parametrize("tau_tot", [0.0, 0.3, 2.0])
+def test_lw_jacobian_decays_as_transmission(n_angles, tau_tot):
+    """The surface-Jacobian channel carries NO source terms: its TOA value
+    is exactly sum_i pi*w_i * emis * J * exp(-D_i * tau) — the prescribed
+    surface jac attenuated by each quadrature secant's slab transmission
+    (reference lw_solver_noscat's Fup_Jac recursion, rte_solver_kernels.cu
+    lw_step_2: jac' = trans * jac with no source added).  Pins the
+    Jacobian sweep AND rows 2-3 of the Gauss-Jacobi table against
+    analytic transmission, oracle-free."""
+    ncol, nlay, ngpt = 2, 12, 1
+    J = 7.3   # prescribed surface-source Jacobian, radiance units
+    emis = 0.8
+    tau = jnp.full((ncol, nlay, ngpt), tau_tot / nlay, jnp.float64)
+    zero3 = jnp.zeros((ncol, nlay, ngpt), jnp.float64)
+    zlev = jnp.zeros((ncol, nlay + 1, ngpt), jnp.float64)
+    e = jnp.full((ncol, ngpt), emis, jnp.float64)
+    zero = jnp.zeros((ncol, ngpt), jnp.float64)
+    jac_in = jnp.full((ncol, ngpt), J, jnp.float64)
+    _, _, fj = lw_solver_noscat(tau, zero3, zlev, e, zero, jac_in, zero,
+                                n_gauss_angles=n_angles)
+    expect = sum(np.pi * float(GAUSS_WTS[n_angles - 1, i]) * emis * J
+                 * np.exp(-float(GAUSS_DS[n_angles - 1, i]) * tau_tot)
+                 for i in range(n_angles))
+    np.testing.assert_allclose(np.asarray(fj)[:, 0, 0], expect, rtol=1e-12)
+
+
+def test_lw_multiangle_emissivity_approaches_exponential_integral():
+    """True angular integration gives slab flux emissivity
+    1 - 2*E3(tau) (exponential integral; Goody & Yung eq. 2.115).  The
+    3-angle Gauss-Jacobi quadrature must land within ~1e-3 of it and be
+    closer than the optimized 1-angle secant at intermediate tau — pins
+    the full GAUSS_DS/GAUSS_WTS table (reference rte_solver_kernels.cu
+    gauss_Ds/gauss_wts) against the defining integral, oracle-free."""
+    def e3(tau):
+        # E3(tau) = int_0^1 mu * exp(-tau/mu) dmu, smooth integrand.
+        mu = np.linspace(1e-9, 1.0, 200001)
+        return np.trapezoid(mu * np.exp(-tau / mu), mu)
+
+    for tau_tot in (0.5, 1.0, 3.0):
+        exact = 1.0 - 2.0 * e3(tau_tot)
+        errs = {}
+        for n_angles in (1, 3):
+            _, fd, f_bb = _isothermal_lw(tau_tot, n_angles=n_angles)
+            got = float(fd[0, -1, 0]) / f_bb
+            errs[n_angles] = abs(got - exact)
+        assert errs[3] < 2e-3, (tau_tot, errs)
+        assert errs[3] <= errs[1] + 1e-12, (tau_tot, errs)
+
+
+def test_sw_pure_absorption_diffuse_transmission():
+    """ssa=0 collapses the Meador-Weaver coefficients to gamma1=2, k=2,
+    rdif=0, tdif=exp(-2*tau) — the classic two-stream diffusivity factor
+    of 2.  Over a reflective surface the TOA up flux is therefore
+    a_dir * mu0 * F * exp(-tau/mu0) * exp(-2*tau) exactly: pins gamma1
+    and the adding sweep's diffuse transmission in the absorbing limit
+    (complement of the conservative-limit anchor)."""
+    mu0v, a, F, tau_tot = 0.6, 0.35, 1000.0, 1.4
+    nlay = 9
+    mu0 = jnp.asarray([mu0v], jnp.float64)
+    tau = jnp.full((1, nlay, 1), tau_tot / nlay, jnp.float64)
+    ssa = jnp.zeros_like(tau)
+    g = jnp.zeros_like(tau)
+    alb = jnp.full((1, 1), a, jnp.float64)
+    inc = jnp.full((1, 1), F, jnp.float64)
+    fu, fd, fdir = sw_solver_2stream(tau, ssa, g, mu0, alb, alb, inc)
+    expect_toa_up = (a * mu0v * F * np.exp(-tau_tot / mu0v)
+                     * np.exp(-2.0 * tau_tot))
+    np.testing.assert_allclose(float(fu[0, 0, 0]), expect_toa_up, rtol=1e-9)
+    # And the reflected beam decays with exp(-2*tau) level by level
+    # upward from the surface.
+    up = np.asarray(fu)[0, :, 0]
+    lev_tau = tau_tot * (1.0 - np.arange(nlay + 1) / nlay)  # sfc->lev
+    expect_prof = (a * mu0v * F * np.exp(-tau_tot / mu0v)
+                   * np.exp(-2.0 * lev_tau))
+    np.testing.assert_allclose(up, expect_prof, rtol=1e-9)
+
+
 @pytest.mark.parametrize("g", [0.0, 0.5, 0.85])
 @pytest.mark.parametrize("tau_tot", [0.5, 2.0, 10.0])
 def test_sw_conservative_slab_diffuse_reflectance(g, tau_tot):
