@@ -619,14 +619,23 @@ def _trace_impl(key,
         w_abs = w * (1.0 - f_no_abs)
         w_sfc = w * cell[:, 7]
 
-        # TWO flat single-element scatters (see the ``acc`` layout note):
-        # each lane's event writes exactly one primary channel — collision
-        # lanes their absorption cell/channel, tod lanes tod_up, surface
-        # lanes sfc_dir/sfc_dif — and surface lanes additionally write
-        # sfc_up.  Single-element flat scatters are ~3.2x cheaper per
-        # index than the former (N, 4) row scatter (PERF.md round 4).
-        # Deposits are scaled by the lane's g-point flux-per-photon so
-        # pooled windows share ONE physical-units accumulator.
+        # Flat single-element scatter scoring (see the ``acc`` layout
+        # note): each lane's event writes exactly one primary channel —
+        # collision lanes their absorption cell/channel, tod lanes
+        # tod_up, surface lanes sfc_dir/sfc_dif.  Single-element flat
+        # scatters are ~3.2x cheaper per index than the former (N, 4)
+        # row scatter (PERF.md round 4).  Deposits are scaled by the
+        # lane's g-point flux-per-photon so pooled windows share ONE
+        # physical-units accumulator.
+        #
+        # sfc_up: every surface deposit is w * albedo(pixel), so the
+        # per-pixel up-flux is EXACTLY albedo * (sfc_dir + sfc_dif) —
+        # with a single g-point per accumulator (the production scan
+        # mode) it is reconstructed after the loop and the second
+        # scatter disappears (the two chained 32k-index scatters were
+        # ~65% of the step body in the round-5 device trace).  Pooled
+        # windows (G > 1) merge g-points whose albedos differ into one
+        # accumulator, so they keep the explicit scatter.
         scale = (flux_per_ray[0] if G == 1
                  else _small_lookup(flux_per_ray, state.gid))
         dir_off = jnp.where(state.is_direct, 0, 1)
@@ -636,10 +645,13 @@ def _trace_impl(key,
             + jnp.where(m_tod, 0, 1 + dir_off))
         val_a = scale * jnp.where(m_col, w_abs,
                                   jnp.where(m_tod | m_sfc, w, 0.0))
-        idx_b = 4 * (ncell * nz + pix_s) + 3
-        val_b = scale * jnp.where(m_sfc, w_sfc, 0.0)
-        counts["acc"] = (counts["acc"].at[idx_a].add(val_a)
-                         .at[idx_b].add(val_b))
+        if G == 1:
+            counts["acc"] = counts["acc"].at[idx_a].add(val_a)
+        else:
+            idx_b = 4 * (ncell * nz + pix_s) + 3
+            val_b = scale * jnp.where(m_sfc, w_sfc, 0.0)
+            counts["acc"] = (counts["acc"].at[idx_a].add(val_a)
+                             .at[idx_b].add(val_b))
 
         # Russian roulette after surface reflection.
         w_after = jnp.where(m_sfc, w_sfc, w)
@@ -811,12 +823,16 @@ def _trace_impl(key,
     acc = counts["acc"].reshape(ncell * nz + ncell, 4)
     sfc = acc[ncell * nz:]
     absorb = acc[:ncell * nz]
+    # G == 1: sfc_up reconstructed from the incident deposits (see the
+    # scoring note — exactly albedo * (dir + dif) per pixel).
+    sfc_up = (sfc[:, 3] if G > 1
+              else alb[0] * (sfc[:, 1] + sfc[:, 2]))
     out = RaytracerOutput(
         flux_toa_down=f2(counts["toa_down"]),
         flux_tod_up=f2(sfc[:, 0]),
         flux_sfc_dir=f2(sfc[:, 1]),
         flux_sfc_dif=f2(sfc[:, 2]),
-        flux_sfc_up=f2(sfc[:, 3]),
+        flux_sfc_up=f2(sfc_up),
         flux_abs_dir=f3(absorb[:, 0]),
         flux_abs_dif=f3(absorb[:, 1]),
     )
