@@ -49,11 +49,11 @@ R1_BASELINE_OLD_METHOD_COLGPT_PER_S = 8.19e6  # block_until_ready (invalid)
 # Update alongside PERF.md whenever the headline bench is re-measured.
 LAST_MEASURED = {
     "colgpt_per_s": 2.911e7, "ms_per_step": 33.77, "vs_baseline": 698.0,
-    "mc_photons_per_s": 102772, "date": "2026-08-20",
+    "mc_photons_per_s": 160394, "date": "2026-08-20",
     "note": "round-5 measurements: headline step with wsel + paired "
-            "half-slab eta contraction (pairc); MC fifo respawn at the "
-            "64x64x256 flagship domain, knull (4,4,4) (see PERF.md "
-            "round 5)",
+            "half-slab eta contraction (pairc); MC single-scatter "
+            "scoring + fifo respawn at the 64x64x256 flagship domain, "
+            "knull (4,4,4) (see PERF.md round 5)",
 }
 
 

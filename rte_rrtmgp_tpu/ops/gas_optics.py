@@ -868,6 +868,42 @@ def dup2c_enabled() -> bool:
     return False
 
 
+def mfold_enabled() -> bool:
+    """Whether the merged cellw pass folds the minor-contributor result
+    into the major tau output IN-KERNEL (one whole-block one-hot
+    placement matmul) instead of writing the (N, CT) plane and stitching
+    it in XLA (_minor_stitch) — the contributor plane and the
+    zero-filled stitch planes never touch HBM.  Env > persisted autotune
+    winner > default off until measured on hardware."""
+    import os
+
+    env = os.environ.get("RTE_RRTMGP_PALLAS_MFOLD")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        from ..utils import tuner
+
+        t = tuner.best_kernel_opts() or {}
+        if t.get("mfold") is not None:
+            return bool(t["mfold"])
+    except Exception:
+        pass
+    return False
+
+
+def _minor_place_matrix(ordered, CT, G):
+    """(CT, G) one-hot placement: contributor row ct -> its g-point
+    column (the static form of _minor_stitch's layered zero-fill)."""
+    M = np.zeros((CT, G), np.float32)
+    off = 0
+    for spec in ordered:
+        ng = spec.gpt_end - spec.gpt_start
+        M[off:off + ng, spec.gpt_start:spec.gpt_end] = np.eye(
+            ng, dtype=np.float32)
+        off += ng
+    return M
+
+
 def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
                          resolves=None, g0=0, cellw=None):
     """kmajor + planck-fraction + MINOR in one Pallas pass (cellw mode,
@@ -889,21 +925,25 @@ def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
             G = kd.kmajor_rows.shape[2]
             M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
             M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
+            mf = mfold_enabled()
+            mkw = (dict(mplace=jnp.asarray(
+                _minor_place_matrix(ordered, CT, G), dtype)) if mf else {})
             if dup2c_enabled():
                 # Lane-merged kmajor|planck (shared rows/weights/fp): one
                 # dup2 op with two outputs — per-cell slice count for the
                 # pair halves (see interp_kernel._kernel_cellw).
                 tbl2 = jnp.concatenate([kd.kmajor_rows, kd.planck_rows],
                                        axis=2)
-                tau, pfrac, upd = interp_cellw_multi(
+                outs = interp_cellw_multi(
                     [tbl2, tbl_m], [cellw.rows, rows_m], cellw.V,
                     [M2, M2m], cellw.fp,
                     metas=(((0, 0, 1, 1), True, True, 0, True, True),
                            ((0, 1), False, False, 1, True)),
                     neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
-                    sc_ops=(1,), **_cellw_opts())
+                    sc_ops=(1,), mfold=(1, 0) if mf else None, **mkw,
+                    **_cellw_opts())
             else:
-                tau, pfrac, upd = interp_cellw_multi(
+                outs = interp_cellw_multi(
                     [kd.kmajor_rows, kd.planck_rows, tbl_m],
                     [cellw.rows, cellw.rows, rows_m], cellw.V, [M2, M2m],
                     cellw.fp,
@@ -911,14 +951,19 @@ def tau_majmin_and_pfrac(kd: KDist, interp: Interp, play, tlay, col_gas,
                            ((0, 0, 1, 1), True, False, 0, True),
                            ((0, 1), False, False, 1, True)),
                     neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
-                    sc_ops=(2,), **_cellw_opts())
+                    sc_ops=(2,), mfold=(2, 0) if mf else None, **mkw,
+                    **_cellw_opts())
+            tau, pfrac = outs[0], outs[1]
+            upd = None if mf else outs[2]   # mfold: stitched in-kernel
             if flat:
                 # Layer-major interchange: stay (N, G) — the stitch is a
                 # lane op and the layer-grid solvers consume (N, G)
                 # directly (no (C, L, G) materialization, no retiling).
-                return _minor_stitch(tau, upd, ordered), pfrac
-            tau = _minor_stitch(tau.reshape(C, L, G),
-                                upd.reshape(C, L, CT), ordered)
+                return (tau if upd is None
+                        else _minor_stitch(tau, upd, ordered)), pfrac
+            tau = tau.reshape(C, L, G)
+            if upd is not None:
+                tau = _minor_stitch(tau, upd.reshape(C, L, CT), ordered)
             return tau, pfrac.reshape(C, L, G)
         if flat:
             # Chunk with no minor intervals: the fused major+planck pass
@@ -956,7 +1001,10 @@ def tau_majmin_and_rayleigh(kd: KDist, interp: Interp, play, tlay, col_gas,
                 cellw.order).astype(jnp.int32)
             M2 = jnp.asarray(cellw.masks2[:, g0:g0 + G], dtype)
             M2m = jnp.asarray(np.concatenate([Mf, Mf], axis=0), dtype)
-            tau, kloc, upd = interp_cellw_multi(
+            mf = mfold_enabled()
+            mkw = (dict(mplace=jnp.asarray(
+                _minor_place_matrix(ordered, CT, G), dtype)) if mf else {})
+            outs = interp_cellw_multi(
                 [kd.kmajor_rows, kd.krayl_rows, tbl_m],
                 [cellw.rows, rows_ray, rows_m], cellw.V, [M2, M2m],
                 cellw.fp,
@@ -964,13 +1012,18 @@ def tau_majmin_and_rayleigh(kd: KDist, interp: Interp, play, tlay, col_gas,
                        ((0, 1), False, False, 0, True),
                        ((0, 1), False, False, 1, True)),
                 neta=kd.neta, sc=sc, msc=jnp.asarray(Ms, dtype),
-                sc_ops=(2,), **_cellw_opts())
+                sc_ops=(2,), mfold=(2, 0) if mf else None, **mkw,
+                **_cellw_opts())
+            tau, kloc = outs[0], outs[1]
+            upd = None if mf else outs[2]   # mfold: stitched in-kernel
             fac_cl = col_gas[:, :, kd.idx_h2o] + col_dry       # (C, L)
             if flat:
-                tau = _minor_stitch(tau, upd, ordered)
+                if upd is not None:
+                    tau = _minor_stitch(tau, upd, ordered)
                 return tau, kloc * _cells(fac_cl, "lm")[:, None]
-            tau = _minor_stitch(tau.reshape(C, L, G),
-                                upd.reshape(C, L, CT), ordered)
+            tau = tau.reshape(C, L, G)
+            if upd is not None:
+                tau = _minor_stitch(tau, upd.reshape(C, L, CT), ordered)
             return tau, kloc.reshape(C, L, G) * fac_cl[:, :, None]
         if flat:
             # Chunk with no minor intervals: fused major+krayl alone.

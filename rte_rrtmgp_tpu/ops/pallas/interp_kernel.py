@@ -416,8 +416,8 @@ def _kernel_multi(metas, unroll, paired, rows_ref, *refs):
 CELL_ROWS = 8  # per-cell resolve rows in V: je0, je1, fm0..fm3, cm0, cm1
 
 
-def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
-                  *refs):
+def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, mfold,
+                  rows_ref, *refs):
     """Cell-resolve variant: the per-g-point weight planes are computed
     IN-KERNEL from a g-independent per-cell resolve tensor instead of
     arriving as 8 precomputed (N, G) HBM planes.
@@ -461,7 +461,18 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
     made it a wash, never materialize).  Per-cell dynamic-slice count for
     the pair halves; col_mix folds into the first half's fm rows (one
     extra rounding vs the separate-op form, covered by the op tolerance
-    tests)."""
+    tests).
+
+    ``mfold = (src_iop, dst_iop)``: op ``src_iop``'s per-cell result
+    (the minor-contributor axis, CT wide) is NOT written out; it goes to
+    a (B, CT) VMEM scratch and, after the cell loop, is accumulated into
+    op ``dst_iop``'s output through ONE whole-block one-hot placement
+    matmul (B, CT) @ (CT, G) — the in-kernel form of the minor stitch.
+    The (N, CT) contributor plane never touches HBM and the zero-filled
+    stitch planes disappear from the XLA step.  Addition order within a
+    g-point differs from the sequential stitch (matmul lane sums) — a
+    few-ulp reassociation on overlapping intervals, covered by the op
+    tolerance tests."""
     any_fp = any(m[1] for m in metas)
     k = 0
     fp_ref = None
@@ -476,17 +487,32 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
     if sc_ops:
         sc_ref, msc_ref = refs[k:k + 2]
         k += 2
-    n_out = sum(2 if (len(m) > 5 and m[5]) else 1 for m in metas)
+    mp_ref = None
+    if mfold is not None:
+        mp_ref = refs[k]
+        k += 1
+    n_out = sum(0 if (mfold is not None and iop == mfold[0])
+                else (2 if (len(m) > 5 and m[5]) else 1)
+                for iop, m in enumerate(metas))
     tables = refs[k:k + len(metas)]
-    outs = refs[k + len(metas):k + len(metas) + n_out]
-    res_scrs = refs[k + len(metas) + n_out:k + len(metas) + n_out + n_m2]
-    scs_scr = refs[-1] if sc_ops else None
+    k += len(metas)
+    outs = refs[k:k + n_out]
+    k += n_out
+    res_scrs = refs[k:k + n_m2]
+    k += n_m2
+    scs_scr = None
+    if sc_ops:
+        scs_scr = refs[k]
+        k += 1
+    fold_scr = refs[k] if mfold is not None else None
     B = outs[0].shape[0]
     dtype = outs[0].dtype
     H = ETA_STRIDE // 2
+    # One iota per weight-plane width: the resolve widths are the M2
+    # widths (an mfold src op has no output to read the width from).
     iotas = {}
-    for o in outs:
-        w = o.shape[1]
+    for r in M2_refs:
+        w = r.shape[1]
         if w not in iotas:
             iotas[w] = jax.lax.broadcasted_iota(
                 jnp.int32, (H if paired else ETA_STRIDE, w), 0).astype(dtype)
@@ -539,7 +565,9 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
             dup2 = len(m) > 5 and m[5]
             res = res_list[mk]
             nc = len(corner_itemp)
-            G = outs[slot].shape[1]
+            G = (fold_scr.shape[1]
+                 if mfold is not None and iop == mfold[0]
+                 else outs[slot].shape[1])
             if dup2:
                 # Lane-merged kmajor|planck pair (has_fp + adj enforced by
                 # the wrapper): ONE (32, 2G) slice per pressure serves both
@@ -634,8 +662,11 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
                     acc = acc + pair
             if iop in sc_ops:
                 acc = acc * res_s
-            outs[slot][b, :] = acc[0]
-            slot += 1
+            if mfold is not None and iop == mfold[0]:
+                fold_scr[b, :] = acc[0]
+            else:
+                outs[slot][b, :] = acc[0]
+                slot += 1
             col += nc
 
     # Whole-block resolve pre-pass: ONE (B*8, P) @ (P, G) MXU matmul per
@@ -671,14 +702,30 @@ def _kernel_cellw(metas, unroll, n_m2, sc_ops, wsel, paired, rows_ref,
 
     jax.lax.fori_loop(0, B // unroll, body, 0)
 
+    if mfold is not None:
+        # In-kernel minor stitch: ONE whole-block one-hot placement
+        # matmul folds the (B, CT) contributor scratch into the dst op's
+        # output (unit weights — each product exact; lane sums
+        # reassociate overlapping intervals by a few ulp).
+        slot_of, s = {}, 0
+        for iop, m in enumerate(metas):
+            if iop == mfold[0]:
+                continue
+            slot_of[iop] = s
+            s += 2 if (len(m) > 5 and m[5]) else 1
+        d = slot_of[mfold[1]]
+        outs[d][...] = outs[d][...] + jax.lax.dot_general(
+            fold_scr[...], mp_ref[...], dn,
+            precision=hi, preferred_element_type=dtype)
+
 
 @functools.partial(jax.jit, static_argnames=("metas", "neta", "block",
                                              "unroll", "sc_ops", "wsel",
-                                             "paired"))
+                                             "paired", "mfold"))
 def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
                        neta: int, block: int = 256, unroll: int = 4,
                        sc=None, msc=None, sc_ops=None, wsel: bool = False,
-                       paired: bool = False):
+                       paired: bool = False, mfold=None, mplace=None):
     """Multi-table interpolation with IN-KERNEL weight-plane resolves.
 
     Same op semantics as :func:`interp_rows_multi`, but instead of 8
@@ -709,6 +756,15 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
 
     H = ETA_STRIDE // 2
     paired = paired and neta <= H + 1
+    if mfold is not None:
+        src, dst = mfold
+        assert src != dst and mplace is not None
+        assert not (len(metas[src]) > 5 and metas[src][5]), \
+            "mfold src cannot be a dup2 op"
+        assert mplace.shape[0] == M2s[
+            metas[src][3] if len(metas[src]) > 3 else 0].shape[1]
+        assert mplace.shape[1] == M2s[
+            metas[dst][3] if len(metas[dst]) > 3 else 0].shape[1]
     tbls, out_ws = [], []
     for iop, (t, m) in enumerate(zip(tables, metas)):
         Gi = M2s[m[3] if len(m) > 3 else 0].shape[1]
@@ -728,7 +784,10 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
         else:
             tp = jnp.pad(t, ((0, 0), (0, ETA_STRIDE - neta), (0, 0)))
         tbls.append(tp.reshape(t.shape[0] * ETA_STRIDE, tw))
-        out_ws.extend([Gi, Gi] if dup2 else [Gi])
+        if mfold is not None and iop == mfold[0]:
+            fold_ct = Gi          # scratch width; no external output
+        else:
+            out_ws.extend([Gi, Gi] if dup2 else [Gi])
 
     rows = jnp.concatenate(rows_list, axis=1)
     P = V.shape[1]
@@ -771,6 +830,10 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
         operands.append(msc)
         specs.append(pl.BlockSpec(msc.shape, lambda ib: (0, 0),
                                   memory_space=pltpu.VMEM))
+    if mfold is not None:
+        operands.append(mplace)
+        specs.append(pl.BlockSpec(mplace.shape, lambda ib: (0, 0),
+                                  memory_space=pltpu.VMEM))
     for t in tbls:
         operands.append(t)
         specs.append(pl.BlockSpec(t.shape, lambda ib: (0, 0),
@@ -780,9 +843,11 @@ def interp_cellw_multi(tables, rows_list, V, M2, fp, *, metas: tuple,
                for m2 in M2s]
     if sc is not None:
         scratch.append(pltpu.VMEM((block, msc.shape[1]), dtype))
+    if mfold is not None:
+        scratch.append(pltpu.VMEM((block, fold_ct), dtype))
     outs = pl.pallas_call(
         functools.partial(_kernel_cellw, metas, unroll, len(M2s), sc_ops,
-                          wsel, paired),
+                          wsel, paired, mfold),
         grid=(n_pad // block,),
         in_specs=specs,
         out_specs=[pl.BlockSpec((block, w), lambda ib: (ib, 0),

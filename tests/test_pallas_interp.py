@@ -527,6 +527,55 @@ def test_cellw_dup2_lane_merged_pair_matches(monkeypatch):
                                        rtol=2e-6, atol=1e-30)
 
 
+def test_cellw_mfold_in_kernel_stitch_matches(monkeypatch):
+    """RTE_RRTMGP_PALLAS_MFOLD=1 (minor result folded into tau through an
+    in-kernel one-hot placement matmul) matches the explicit
+    (N, CT)-plane + _minor_stitch path through both merged production
+    entries, chunked and unchunked.  Lane-sum reassociation on
+    overlapping minor intervals is few-ulp — inside the op tolerance."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import jax
+
+    from helpers import small_kdist, small_atmos, atmos_inputs
+    from rte_rrtmgp_tpu.ops import gas_optics as go
+    from rte_rrtmgp_tpu import config as cfg
+
+    monkeypatch.setenv("RTE_RRTMGP_PALLAS", "1")
+    assert cfg.use_pallas()
+    for lw in (True, False):
+        kd_f = small_kdist(longwave=lw)
+        kd_f = jax.tree.map(lambda a: a.astype(np.float32)
+                            if hasattr(a, "dtype") and a.dtype.kind == "f"
+                            else a, kd_f)
+        atm = small_atmos(ncol=4, nlay=6, seed=17)
+        vmr, col_dry = atmos_inputs(kd_f, atm)
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        col_gas = go.build_col_gas(f32(vmr), f32(col_dry))
+        p, t = f32(atm["p_lay"]), f32(atm["t_lay"])
+        interp = go.interpolation(kd_f, p, t, col_gas)
+        with pltpu.force_tpu_interpret_mode():
+            cw = go.cellw_resolves(kd_f, interp)
+            for g0 in (0, kd_f.ngpt // 2):
+                kdc = kd_f.slice_gpt(g0, kd_f.ngpt)
+                outs = {}
+                for mfold in ("0", "1"):
+                    monkeypatch.setenv("RTE_RRTMGP_PALLAS_MFOLD", mfold)
+                    if lw:
+                        outs[mfold] = go.tau_majmin_and_pfrac(
+                            kdc, interp, p, t, col_gas, g0=g0, cellw=cw)
+                    else:
+                        outs[mfold] = go.tau_majmin_and_rayleigh(
+                            kdc, interp, p, t, col_gas, f32(col_dry),
+                            g0=g0, cellw=cw)
+                for x0, x1 in zip(outs["0"], outs["1"]):
+                    np.testing.assert_allclose(
+                        np.asarray(x0), np.asarray(x1),
+                        rtol=2e-6, atol=1e-30)
+
+
 def test_cellw_kernel_lowers_for_tpu():
     """Cross-lower the cellw kernel for the TPU platform via jax.export:
     the Pallas -> Mosaic frontend runs at lowering time on the host, so
@@ -629,6 +678,24 @@ def test_cellw_kernel_lowers_for_tpu():
                                    fp, sc, mscm)
             assert [tuple(o.shape) for o in e5.out_avals] == [
                 (N, G), (N, G), (N, CT)]
+
+        # In-kernel minor fold: the CT op vanishes from the outputs and
+        # accumulates into op 0 through the placement matmul.
+        mplace = jnp.asarray(rng.random((CT, G), np.float32))
+
+        def hm(tbl, tblm, rows, rows2, V, M2, M2m, fp, sc, mscm, mplace):
+            return interp_cellw_multi(
+                [tbl, tbl, tblm], [rows, rows2, rows2], V, [M2, M2m], fp,
+                metas=(((0, 0, 1, 1), True, True, 0, True),
+                       ((0, 1), False, False, 0, True),
+                       ((0, 1), False, False, 1, True)),
+                neta=E, block=32, unroll=8, sc=sc, msc=mscm, sc_ops=(2,),
+                paired=True, mfold=(2, 0), mplace=mplace)
+
+        e6 = export.export(jax.jit(hm), platforms=["tpu"])(
+            tbl, tblm, rows, rows2, V, M2, M2m, fp, sc, mplace=mplace,
+            mscm=mscm)
+        assert [tuple(o.shape) for o in e6.out_avals] == [(N, G), (N, G)]
     sys.setrecursionlimit(old_limit)
 
 

@@ -132,6 +132,9 @@ def main():
         # + lane-merged kmajor|planck dup2 pair (dup2c_enabled()).
         {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
          "cellw": 1, "wsel": 1, "pairc": 1, "dup2c": 1},
+        # + in-kernel minor fold (mfold_enabled()).
+        {"gpt_chunk": 128, "pallas": 1, "block": 256, "unroll": 8,
+         "cellw": 1, "wsel": 1, "pairc": 1, "mfold": 1},
     ]
 
     return _run_and_persist(candidates, tuner)
@@ -151,6 +154,7 @@ def _run_and_persist(candidates, tuner):
         env["RTE_RRTMGP_PALLAS_WSEL"] = str(cand.get("wsel", 0))
         env["RTE_RRTMGP_PALLAS_PAIRC"] = str(cand.get("pairc", 0))
         env["RTE_RRTMGP_PALLAS_DUP2C"] = str(cand.get("dup2c", 0))
+        env["RTE_RRTMGP_PALLAS_MFOLD"] = str(cand.get("mfold", 0))
         env["TUNE_NCOL"], env["TUNE_NLAY"] = str(NCOL), str(NLAY)
         try:
             proc = subprocess.run(
