@@ -182,6 +182,11 @@ class _BwState(NamedTuple):
     count: object       # (N,) int32 rays already launched by this lane
     lane_id: object     # (N,) int32 ORIGINAL lane index (pool identity;
                         # stable across staged width compaction)
+    nee: object = None  # (N,) lane-carried NEE sum (no-respawn fast path:
+                        # the lane's pixel is FIXED, so per-step deposits
+                        # accumulate in-lane — pure VPU — and flush to the
+                        # camera count with ONE scatter per phase instead
+                        # of one 32k-index scatter per step)
 
 
 def trace_rays_bw(key, camera: Camera,
@@ -567,6 +572,10 @@ def trace_rays_bw(key, camera: Camera,
         return lpos, ldir, pix, lbg
 
     pix0 = pix_all[:n_lanes]
+    # Static no-respawn detection (shared with the body's fast path):
+    # lanes keep their camera pixel forever, enabling in-lane NEE
+    # accumulation (see _BwState.nee).
+    lane_acc = (n_lanes == n_photons) if fifo else (rpl == 1)
     state = _BwState(
         pos=pos_all[:n_lanes], direction=dir_all[:n_lanes],
         weight=jnp.ones(n_lanes, dtype),
@@ -580,6 +589,7 @@ def trace_rays_bw(key, camera: Camera,
         pix=pix0,
         count=None if fifo else jnp.zeros(n_lanes, jnp.int32),
         lane_id=None if fifo else jnp.arange(n_lanes, dtype=jnp.int32),
+        nee=jnp.zeros(n_lanes, dtype) if lane_acc else None,
     )
 
     def body(carry):
@@ -771,8 +781,16 @@ def trace_rays_bw(key, camera: Camera,
             t_sun = sun_trans_field(nee_pos, state.bg_idx, k_here, m_sfc)
         else:
             t_sun = sun_transmission(nee_pos, state.bg_idx, need_nee, ksun)
-        count = count.at[state.pix].add(
-            jnp.where(need_nee, w_evt * p_evt * t_sun, 0.0))
+        dep = jnp.where(need_nee, w_evt * p_evt * t_sun, 0.0)
+        if lane_acc:
+            # No-respawn fast path: the lane's pixel never changes, so
+            # the deposit accumulates in-lane (VPU add) and flushes with
+            # ONE scatter per compaction phase — the per-step
+            # pixel-indexed scatter (per-INDEX cost at full width)
+            # disappears from the loop.
+            nee_new = state.nee + dep
+        else:
+            count = count.at[state.pix].add(dep)
 
         # ============ merge new state ============
         new_pos = jnp.where(m_bgc[:, None], pos_bgc2,
@@ -818,13 +836,13 @@ def trace_rays_bw(key, camera: Camera,
         # so the per-step launch-table gather (pool) or queue arithmetic
         # (fifo) is dead weight.  Draw shapes unchanged -> RNG stream and
         # frozen goldens identical.
-        if (n_lanes == n_photons) if fifo else (rpl == 1):
+        if lane_acc:
             new_state = _BwState(
                 pos=new_pos, direction=new_dir, weight=new_w,
                 is_direct=new_direct, alive=new_alive, tau=new_tau,
                 d_max=new_dmax, k_null=k_null, transition=new_trans,
                 bg_idx=new_bgi, pix=state.pix, count=state.count,
-                lane_id=state.lane_id)
+                lane_id=state.lane_id, nee=nee_new)
             return new_state, count, key, step + 1, next_pid
         if fifo:
             # Global ray queue, as in the forward tracer: dying lanes take
@@ -902,6 +920,12 @@ def trace_rays_bw(key, camera: Camera,
 
         state, camera_count, key, step, next_pid = jax.lax.while_loop(
             cond, body, (state, camera_count, key, step, next_pid))
+        if lane_acc:
+            # Flush the lane-carried NEE sums (once per phase — dead
+            # lanes' accumulated deposits must land before compaction
+            # drops them).
+            camera_count = camera_count.at[state.pix].add(state.nee)
+            state = state._replace(nee=jnp.zeros_like(state.nee))
         if not is_last:
             nxt = widths[phase + 1]
             order = jnp.argsort(jnp.logical_not(state.alive))[:nxt]
