@@ -11,6 +11,12 @@ import sys
 import time
 from collections import defaultdict
 
+# The image's protobuf C extension predates the tensorboard profile
+# plugin's generated code; the pure-Python parser handles it (same pin as
+# profile_rt.py — without it the post-processing step raises
+# "Descriptors cannot be created directly" after the trace is captured).
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 import jax
 import numpy as np
 
