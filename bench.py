@@ -48,8 +48,8 @@ R1_BASELINE_OLD_METHOD_COLGPT_PER_S = 8.19e6  # block_until_ready (invalid)
 # backend failure is a reporting bug, not a measurement (VERDICT r3 item 8).
 # Update alongside PERF.md whenever the headline bench is re-measured.
 LAST_MEASURED = {
-    "colgpt_per_s": 2.911e7, "ms_per_step": 33.77, "vs_baseline": 698.0,
-    "mc_photons_per_s": 160394, "date": "2026-08-20",
+    "colgpt_per_s": 2.921e7, "ms_per_step": 33.66, "vs_baseline": 700.4,
+    "mc_photons_per_s": 159053, "date": "2026-08-20",
     "note": "round-5 measurements: headline step with wsel + paired "
             "half-slab eta contraction (pairc); MC single-scatter "
             "scoring + fifo respawn at the 64x64x256 flagship domain, "
