@@ -335,7 +335,7 @@ def _trace_impl(key,
     n_photons = G * n_photons_g
     # Photon ids and flat accumulator indices are int32 on purpose (TPU
     # gathers/scatters want 32-bit indices); guard the ranges explicitly.
-    if n_photons >= 2 ** 31 or 4 * (ncell * nz + ncell) >= 2 ** 31:
+    if n_photons >= 2 ** 31 or 2 * ncell * nz + 4 * ncell >= 2 ** 31:
         raise ValueError(
             f"photon pool too large for int32 ids: G={G} ncell={ncell} "
             f"ppp={photons_per_pixel} -> n_photons={n_photons}")
@@ -466,18 +466,19 @@ def _trace_impl(key,
     counts = dict(
         toa_down=jnp.zeros(ncell, dtype).at[pix_all].add(
             flux_per_ray[g_all]),
-        # one packed FLAT accumulator: entries 4*r+c where rows
-        # r in [0, ncell*nz) hold per-cell c=(0 absorb_dir, 1 absorb_dif)
-        # and rows [ncell*nz, +ncell) per-pixel c=(0 tod_up, 1 sfc_dir,
-        # 2 sfc_dif, 3 sfc_up).  Scoring is TWO single-element scatters
-        # per step: every event writes exactly one primary channel
-        # (absorption OR tod OR sfc-down, selected per lane), and surface
-        # hits additionally write sfc_up.  Measured
-        # (tools/microbench_scatter.py, v5e): flat single-element
-        # scatter-adds cost ~19-26 cycles/index where the previous (N, 4)
-        # row scatter cost ~84-87 — the row form made XLA's serial RMW
-        # loop move 4-wide vectors per index.
-        acc=jnp.zeros(4 * (ncell * nz + ncell), dtype),
+        # one packed FLAT accumulator: entries 2*r+c for cell rows
+        # r in [0, ncell*nz) with c=(0 absorb_dir, 1 absorb_dif), then a
+        # per-pixel block at offset 2*ncell*nz with 4 channels
+        # (0 tod_up, 1 sfc_dir, 2 sfc_dif, 3 sfc_up).  Absorption rows
+        # get exactly the 2 channels they use — the round-5 device trace
+        # showed the while-carried accumulator MIGRATING memory spaces
+        # around the scatter every iteration (~0.11 ms/iter of 16.8 MB
+        # copies), so its size is on the per-iteration critical path, not
+        # just footprint.  Measured (tools/microbench_scatter.py, v5e):
+        # flat single-element scatter-adds cost ~19-26 cycles/index where
+        # the previous (N, 4) row scatter cost ~84-87 — the row form made
+        # XLA's serial RMW loop move 4-wide vectors per index.
+        acc=jnp.zeros(2 * ncell * nz + 4 * ncell, dtype),
     )
 
     def cell_index(p, d, n, nmax):
@@ -639,16 +640,16 @@ def _trace_impl(key,
         scale = (flux_per_ray[0] if G == 1
                  else _small_lookup(flux_per_ray, state.gid))
         dir_off = jnp.where(state.is_direct, 0, 1)
+        sfc0 = 2 * ncell * nz
         idx_a = jnp.where(
-            m_col, 4 * idx + dir_off,
-            4 * (ncell * nz + pix_s)
-            + jnp.where(m_tod, 0, 1 + dir_off))
+            m_col, 2 * idx + dir_off,
+            sfc0 + 4 * pix_s + jnp.where(m_tod, 0, 1 + dir_off))
         val_a = scale * jnp.where(m_col, w_abs,
                                   jnp.where(m_tod | m_sfc, w, 0.0))
         if G == 1:
             counts["acc"] = counts["acc"].at[idx_a].add(val_a)
         else:
-            idx_b = 4 * (ncell * nz + pix_s) + 3
+            idx_b = sfc0 + 4 * pix_s + 3
             val_b = scale * jnp.where(m_sfc, w_sfc, 0.0)
             counts["acc"] = (counts["acc"].at[idx_a].add(val_a)
                              .at[idx_b].add(val_b))
@@ -820,9 +821,8 @@ def _trace_impl(key,
     def f3(c):
         return (c / dz).reshape(nz, ny, nx)
 
-    acc = counts["acc"].reshape(ncell * nz + ncell, 4)
-    sfc = acc[ncell * nz:]
-    absorb = acc[:ncell * nz]
+    absorb = counts["acc"][:2 * ncell * nz].reshape(ncell * nz, 2)
+    sfc = counts["acc"][2 * ncell * nz:].reshape(ncell, 4)
     # G == 1: sfc_up reconstructed from the incident deposits (see the
     # scoring note — exactly albedo * (dir + dif) per pixel).
     sfc_up = (sfc[:, 3] if G > 1
